@@ -1,0 +1,175 @@
+"""Typed configuration system for sba_gan_tpu.
+
+Capability parity with the reference's easydict+YAML config
+(``AttnGAN2/code/miscc/config.py:9-109``): a tree of defaults, strict
+recursive YAML merge (unknown keys raise ``KeyError``, type mismatches raise
+``ValueError``), and dotted attribute access.  Re-designed as a plain Python
+class (no easydict dependency) with a few TPU-native extension groups under
+``cfg.JAX`` (mesh shape, compute dtype, batch-norm sync policy) that the
+CUDA reference has no analogue for.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict
+
+import yaml
+
+
+class ConfigDict(dict):
+    """dict with attribute access; values are plain Python scalars/ConfigDicts."""
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = value
+
+    def __deepcopy__(self, memo):
+        return ConfigDict({k: copy.deepcopy(v, memo) for k, v in self.items()})
+
+
+def _cd(d: Dict[str, Any]) -> ConfigDict:
+    out = ConfigDict()
+    for k, v in d.items():
+        out[k] = _cd(v) if isinstance(v, dict) else v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Default schema.  Key names/defaults mirror the reference schema
+# (`miscc/config.py:12-66`) so the reference's YAML presets remain loadable;
+# groups MODEL/JAX/BENCH are new, TPU-specific extensions.
+# ---------------------------------------------------------------------------
+def default_config() -> ConfigDict:
+    return _cd(
+        {
+            "DATASET_NAME": "birds",
+            "CONFIG_NAME": "",
+            "DATA_DIR": "",
+            "GPU_ID": 0,  # accepted for reference-YAML compat; unused on TPU
+            "CUDA": True,  # accepted for reference-YAML compat; unused on TPU
+            "WORKERS": 6,
+            "RNN_TYPE": "LSTM",  # 'LSTM' | 'GRU'
+            "B_VALIDATION": False,
+            "TREE": {
+                "BRANCH_NUM": 3,
+                "BASE_SIZE": 64,
+            },
+            "TRAIN": {
+                "BATCH_SIZE": 64,
+                "MAX_EPOCH": 600,
+                "SNAPSHOT_INTERVAL": 2000,
+                "DISCRIMINATOR_LR": 2e-4,
+                "GENERATOR_LR": 2e-4,
+                "ENCODER_LR": 2e-4,
+                "RNN_GRAD_CLIP": 0.25,
+                "FLAG": True,
+                "NET_E": "",
+                "NET_G": "",
+                "B_NET_D": True,
+                "SMOOTH": {
+                    "GAMMA1": 5.0,
+                    "GAMMA2": 5.0,
+                    "GAMMA3": 10.0,
+                    "LAMBDA": 1.0,
+                },
+                "MIXING": False,
+            },
+            "GAN": {
+                "DF_DIM": 64,
+                "GF_DIM": 128,
+                "Z_DIM": 100,
+                "W_DIM": 256,
+                "CONDITION_DIM": 100,
+                "R_NUM": 2,
+                "B_ATTENTION": True,
+                "B_DCGAN": False,
+                # number of mapping-network layers: 6 in the word-vocab variant
+                # (reference model.py:301-321), 8 in the BERT/style variant
+                # (model_bert.py:334-348).  Explicit here instead of being
+                # implied by which model file is imported.
+                "M_NUM": 6,
+                # whether stage-0 input is concat(c, z) (reference model.py:369)
+                # or c alone with z entering only via w (model_bert.py:401-410).
+                "INIT_Z_CONCAT": True,
+            },
+            "TEXT": {
+                "CAPTIONS_PER_IMAGE": 10,
+                "EMBEDDING_DIM": 256,
+                "WORDS_NUM": 20,
+            },
+            # --- TPU-native extensions (no reference analogue) ---
+            "MODEL": {
+                "TEXT_ENCODER": "rnn",  # 'rnn' | 'bert'
+            },
+            "JAX": {
+                "SEED": 100,
+                # compute dtype for conv/matmul-heavy modules; params stay f32.
+                "DTYPE": "float32",  # 'float32' | 'bfloat16'
+                "MESH_DATA": -1,  # -1: all devices on the data axis
+                "MESH_MODEL": 1,
+                # True: batch-norm statistics are computed over the global
+                # (cross-replica) batch — automatic under jit over a sharded
+                # batch.  Recorded here for documentation/tests.
+                "SYNC_BATCHNORM": True,
+                "USE_PALLAS": True,  # fused TPU kernels where available
+                "LOSS_DTYPE": "float32",
+            },
+            "BENCH": {
+                "WARMUP_STEPS": 3,
+                "MEASURE_STEPS": 10,
+            },
+        }
+    )
+
+
+def merge_into(src: Dict[str, Any], dst: ConfigDict, _path: str = "") -> None:
+    """Recursively merge ``src`` into ``dst``.
+
+    Same strictness contract as the reference `_merge_a_into_b`
+    (`miscc/config.py:69-100`): unknown keys raise KeyError; type mismatches
+    raise ValueError.  One deliberate convenience deviation: an int value is
+    accepted where a float is expected (YAML `5` for `5.0`).
+    """
+    if src is None:
+        return
+    for k, v in src.items():
+        where = f"{_path}{k}"
+        if k not in dst:
+            raise KeyError(f"{where} is not a valid config key")
+        old = dst[k]
+        if isinstance(old, ConfigDict):
+            if not isinstance(v, dict):
+                raise ValueError(
+                    f"Type mismatch ({type(old)} vs. {type(v)}) for config key: {where}"
+                )
+            merge_into(v, old, where + ".")
+            continue
+        if isinstance(old, float) and isinstance(v, int) and not isinstance(v, bool):
+            v = float(v)
+        if old is not None and v is not None and type(old) is not type(v):
+            raise ValueError(
+                f"Type mismatch ({type(old)} vs. {type(v)}) for config key: {where}"
+            )
+        dst[k] = v
+
+
+def cfg_from_file(filename: str, base: ConfigDict | None = None) -> ConfigDict:
+    """Load a YAML preset and merge it over the defaults (reference
+    `cfg_from_file`, miscc/config.py:103-109) — but returns a fresh config
+    object instead of mutating a global singleton."""
+    cfg = base if base is not None else default_config()
+    with open(filename, "r") as f:
+        merge_into(yaml.safe_load(f), cfg)
+    return cfg
+
+
+def cfg_from_dict(d: Dict[str, Any], base: ConfigDict | None = None) -> ConfigDict:
+    cfg = base if base is not None else default_config()
+    merge_into(d, cfg)
+    return cfg

@@ -1,0 +1,136 @@
+"""DAMSM text-image matching losses, TPU-native.
+
+Capability parity with the reference losses (AttnGAN2/code/miscc/losses.py):
+
+* :func:`sent_loss` — global image code vs sentence code cosine score matrix,
+  gamma3 scaling, same-class masking, symmetric cross-entropy
+  (losses.py:20-59).
+* :func:`words_loss` — word-to-region attention similarity
+  (losses.py:62-132).  The reference loops over the batch in Python, running
+  a variable-length `func_attention` per sample — the single biggest
+  XLA-hostility in the codebase (SURVEY.md hard-part #1).  Here the whole
+  (text_i, image_j) grid is computed as masked dense einsums at static shape:
+  one (B, B, T, R) attention tensor, masked softmaxes, and a masked
+  log-sum-exp over true word counts only.  Numerics match the reference loop
+  on valid positions exactly.
+
+Class masking: scores between different samples of the same class are
+excluded (-inf) from the contrastive softmax, mirroring losses.py:24-34.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+EPS = 1e-8
+
+
+def _class_mask(class_ids: jax.Array) -> jax.Array:
+    """(B, B) bool: True where sample pair shares a class but is not the
+    diagonal (reference mask construction, losses.py:24-29)."""
+    same = class_ids[:, None] == class_ids[None, :]
+    eye = jnp.eye(class_ids.shape[0], dtype=bool)
+    return same & ~eye
+
+
+def _masked_cross_entropy(scores: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean CE over rows; `scores` already has masked entries at NEG_INF."""
+    logz = jax.scipy.special.logsumexp(scores, axis=1)
+    picked = jnp.take_along_axis(scores, labels[:, None], axis=1)[:, 0]
+    return jnp.mean(logz - picked)
+
+
+def sent_loss(
+    cnn_code: jax.Array,
+    rnn_code: jax.Array,
+    labels: jax.Array,
+    class_ids: Optional[jax.Array],
+    gamma3: float = 10.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sentence-level DAMSM loss (reference sent_loss, losses.py:20-59).
+
+    cnn_code, rnn_code: (B, D); labels: (B,) int (arange(B) in training).
+    Returns (loss0, loss1): image->text and text->image CE.
+    """
+    cnn_code = cnn_code.astype(jnp.float32)
+    rnn_code = rnn_code.astype(jnp.float32)
+    scores = cnn_code @ rnn_code.T  # (B, B)
+    cnn_norm = jnp.linalg.norm(cnn_code, axis=1, keepdims=True)
+    rnn_norm = jnp.linalg.norm(rnn_code, axis=1, keepdims=True)
+    norms = jnp.clip(cnn_norm @ rnn_norm.T, min=EPS)
+    scores = scores / norms * gamma3
+    if class_ids is not None:
+        scores = jnp.where(_class_mask(class_ids), NEG_INF, scores)
+    loss0 = _masked_cross_entropy(scores, labels)
+    loss1 = _masked_cross_entropy(scores.T, labels)
+    return loss0, loss1
+
+
+def words_loss(
+    img_features: jax.Array,
+    words_emb: jax.Array,
+    labels: jax.Array,
+    cap_lens: jax.Array,
+    class_ids: Optional[jax.Array],
+    gamma1: float = 4.0,
+    gamma2: float = 5.0,
+    gamma3: float = 10.0,
+    return_attn: bool = False,
+):
+    """Word-level DAMSM loss (reference words_loss, losses.py:62-132), fully
+    batched.
+
+    img_features: (B, R, D) region features (reference: (B, D, 17, 17)).
+    words_emb:    (B, T, D) word embeddings (reference: (B, D, T)).
+    cap_lens:     (B,) true word counts; positions t >= len are padding.
+    labels:       (B,) int matching labels (arange(B) in training).
+
+    Returns (loss0, loss1) and, when return_attn, the per-sample attention
+    maps attn[i] of text i over its own image, (B, T, R) — the reference's
+    att_maps visualization payload (losses.py:92).
+    """
+    img = img_features.astype(jnp.float32)
+    words = words_emb.astype(jnp.float32)
+    b, t, d = words.shape
+    r = img.shape[1]
+
+    word_valid = jnp.arange(t)[None, :] < cap_lens[:, None]  # (B_text, T)
+
+    # Eq. 7: scores[i, j, t, r] — text i's word t against image j's region r.
+    scores = jnp.einsum(
+        "itd,jrd->ijtr", words, img, preferred_element_type=jnp.float32
+    )
+    # Eq. 8: softmax over words of text i (valid words only).
+    wmask = word_valid[:, None, :, None]  # (B_text, 1, T, 1)
+    attn = jax.nn.softmax(jnp.where(wmask, scores, NEG_INF), axis=2)
+    # Eq. 9: gamma1-sharpened softmax over regions.
+    attn = jax.nn.softmax(gamma1 * attn, axis=3)
+    # Weighted region context per (text, image, word).
+    context = jnp.einsum(
+        "ijtr,jrd->ijtd", attn, img, preferred_element_type=jnp.float32
+    )
+
+    # Cosine similarity word <-> its context (reference cosine_similarity,
+    # losses.py:11-17), then Eq. 10: gamma2 log-sum-exp over valid words.
+    num = jnp.einsum("itd,ijtd->ijt", words, context)
+    wnorm = jnp.linalg.norm(words, axis=2)[:, None, :]  # (B_text,1,T)
+    cnorm = jnp.linalg.norm(context, axis=3)  # (B_text,B_img,T)
+    row_sim = num / jnp.clip(wnorm * cnorm, min=EPS)  # (B_text,B_img,T)
+    row_sim = jnp.where(word_valid[:, None, :], gamma2 * row_sim, NEG_INF)
+    sim = jax.scipy.special.logsumexp(row_sim, axis=2)  # (B_text, B_img)
+
+    # similarities[i_img, j_text] in the reference (losses.py:111-115).
+    similarities = sim.T * gamma3
+    if class_ids is not None:
+        similarities = jnp.where(_class_mask(class_ids), NEG_INF, similarities)
+    loss0 = _masked_cross_entropy(similarities, labels)
+    loss1 = _masked_cross_entropy(similarities.T, labels)
+
+    if return_attn:
+        diag = jnp.einsum("iitr->itr", attn)  # text i over its own image
+        return loss0, loss1, diag
+    return loss0, loss1

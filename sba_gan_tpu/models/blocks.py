@@ -1,0 +1,284 @@
+"""Generator/discriminator building blocks, TPU-native (Flax linen, NHWC).
+
+Capability parity with the reference blocks (AttnGAN2/code/model.py:15-71,
+271-339, 540-578): GLU, 3x3/1x1 convs, nearest-upsample conv-BN-GLU blocks,
+residual blocks, conditioning augmentation, the StyleGAN-style mapping
+network, AdaIN style injection, and the leaky-ReLU downsample blocks used by
+the discriminators.  Everything is channels-last and static-shape so XLA can
+tile convs onto the MXU and fuse the elementwise epilogues.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# Orthogonal init for conv/linear weights, N(1, 0.02) for norm scales,
+# zeros for biases — mirrors the reference `weights_init`
+# (miscc/utils.py:286-296).
+ortho_init = nn.initializers.orthogonal()
+
+
+def bn_scale_init(key, shape, dtype=jnp.float32):
+    return jnp.ones(shape, dtype) + 0.02 * jax.random.normal(key, shape, dtype)
+
+
+def glu(x: jax.Array, axis: int = -1) -> jax.Array:
+    """Gated linear unit: split channels in half, a * sigmoid(b)
+    (reference GLU, model.py:15-23; channel axis is last in NHWC)."""
+    nc = x.shape[axis]
+    assert nc % 2 == 0, "channels dont divide 2!"
+    a, b = jnp.split(x, 2, axis=axis)
+    return a * jax.nn.sigmoid(b)
+
+
+class Conv3x3(nn.Module):
+    """3x3 stride-1 'same' conv, no bias (reference conv3x3, model.py:32-35)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.features,
+            (3, 3),
+            strides=1,
+            padding=1,
+            use_bias=False,
+            dtype=self.dtype,
+            kernel_init=ortho_init,
+        )(x)
+
+
+class Conv1x1(nn.Module):
+    """1x1 conv (reference conv1x1, model.py:26-29)."""
+
+    features: int
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.features,
+            (1, 1),
+            strides=1,
+            padding=0,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            kernel_init=ortho_init,
+        )(x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with reference-matching hyperparameters (torch BatchNorm2d:
+    eps=1e-5, running-stat momentum 0.1 -> flax momentum 0.9) and N(1,0.02)
+    scale init.  Under jit over a batch sharded on the `data` mesh axis the
+    batch statistics are global (XLA inserts the cross-replica reduction),
+    giving synced batch-norm without explicit collectives."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            scale_init=bn_scale_init,
+        )(x)
+
+
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbour 2x spatial upsample, NHWC (reference nn.Upsample
+    scale_factor=2 mode='nearest', model.py:41).  repeat() lowers to cheap
+    broadcasts on TPU."""
+    b, h, w, c = x.shape
+    x = jnp.repeat(x, 2, axis=1)
+    x = jnp.repeat(x, 2, axis=2)
+    return x
+
+
+class UpBlock(nn.Module):
+    """nearest-up2x -> conv3x3(out*2) -> BN -> GLU (reference upBlock,
+    model.py:39-45)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = upsample_nearest_2x(x)
+        x = Conv3x3(self.features * 2, dtype=self.dtype)(x)
+        x = BatchNorm(dtype=self.dtype)(x, train)
+        return glu(x)
+
+
+class Block3x3Relu(nn.Module):
+    """conv3x3(out*2) -> BN -> GLU, keeps spatial size (reference
+    Block3x3_relu, model.py:49-54)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = Conv3x3(self.features * 2, dtype=self.dtype)(x)
+        x = BatchNorm(dtype=self.dtype)(x, train)
+        return glu(x)
+
+
+class ResBlock(nn.Module):
+    """conv3x3(2c)-BN-GLU-conv3x3(c)-BN + skip (reference ResBlock,
+    model.py:57-71)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        h = Conv3x3(self.features * 2, dtype=self.dtype)(x)
+        h = BatchNorm(dtype=self.dtype)(h, train)
+        h = glu(h)
+        h = Conv3x3(self.features, dtype=self.dtype)(h)
+        h = BatchNorm(dtype=self.dtype)(h, train)
+        return x + h
+
+
+class CANet(nn.Module):
+    """Conditioning augmentation: linear(t_dim -> 4*c_dim) -> GLU ->
+    (mu, logvar) -> reparameterized sample (reference CA_NET,
+    model.py:271-299)."""
+
+    c_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sent_emb, rng):
+        x = nn.Dense(self.c_dim * 4, dtype=self.dtype, kernel_init=ortho_init)(
+            sent_emb
+        )
+        x = glu(x)
+        mu, logvar = x[:, : self.c_dim], x[:, self.c_dim :]
+        std = jnp.exp(0.5 * logvar.astype(jnp.float32))
+        eps = jax.random.normal(rng, std.shape, jnp.float32)
+        c_code = (mu.astype(jnp.float32) + eps * std).astype(mu.dtype)
+        return c_code, mu, logvar
+
+
+class MappingNet(nn.Module):
+    """z -> w: stack of bias-free linears (reference MAPPING_NET — 6 layers in
+    model.py:301-321, 8 layers in model_bert.py:334-348; depth is the
+    `num_layers` field here, wired to cfg.GAN.M_NUM)."""
+
+    w_dim: int
+    num_layers: int = 6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        w = z
+        for _ in range(self.num_layers):
+            w = nn.Dense(
+                self.w_dim, use_bias=False, dtype=self.dtype, kernel_init=ortho_init
+            )(w)
+        return w
+
+
+def instance_norm_2d(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Per-sample, per-channel normalization over H,W — torch
+    InstanceNorm2d(affine=False) semantics, NHWC layout."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+class AdaINNorm(nn.Module):
+    """AdaIN style injection: out = (gamma+1) * IN(h) + beta with
+    (gamma, beta) = linear(w) (reference ADAIN_NORM, model.py:324-339)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, w_code):
+        style = nn.Dense(
+            self.features * 2, dtype=self.dtype, kernel_init=ortho_init
+        )(w_code)
+        gamma, beta = jnp.split(style, 2, axis=-1)
+        gamma = gamma[:, None, None, :]
+        beta = beta[:, None, None, :]
+        out = instance_norm_2d(h)
+        return (gamma + 1.0) * out + beta
+
+
+# --------------------------- discriminator blocks --------------------------
+
+
+class Block3x3LeakRelu(nn.Module):
+    """conv3x3 -> BN -> LeakyReLU(0.2), keeps spatial size (reference
+    Block3x3_leakRelu, model.py:540-546)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = Conv3x3(self.features, dtype=self.dtype)(x)
+        x = BatchNorm(dtype=self.dtype)(x, train)
+        return nn.leaky_relu(x, 0.2)
+
+
+class DownBlock(nn.Module):
+    """4x4 stride-2 conv -> BN -> LeakyReLU(0.2): spatial /2 (reference
+    downBlock, model.py:550-556)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(
+            self.features,
+            (4, 4),
+            strides=2,
+            padding=1,
+            use_bias=False,
+            dtype=self.dtype,
+            kernel_init=ortho_init,
+        )(x)
+        x = BatchNorm(dtype=self.dtype)(x, train)
+        return nn.leaky_relu(x, 0.2)
+
+
+class EncodeBy16(nn.Module):
+    """Four stride-2 4x4 convs: 3 -> ndf -> 2ndf -> 4ndf -> 8ndf, spatial /16
+    (reference encode_image_by_16times, model.py:560-578).  First conv has no
+    BatchNorm."""
+
+    ndf: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(
+            self.ndf,
+            (4, 4),
+            strides=2,
+            padding=1,
+            use_bias=False,
+            dtype=self.dtype,
+            kernel_init=ortho_init,
+        )(x)
+        x = nn.leaky_relu(x, 0.2)
+        for mult in (2, 4, 8):
+            x = DownBlock(self.ndf * mult, dtype=self.dtype)(x, train)
+        return x
