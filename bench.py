@@ -1,0 +1,109 @@
+"""Benchmark: full GAN train-step throughput at flagship (bird_style) scale.
+
+Runs the single-jit train step — text encode, 3-branch generator, three
+discriminator updates, G update through the frozen Inception-v3 + DAMSM
+losses, KL, EMA — on whatever backend JAX exposes (one real TPU chip under
+the driver) and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "images/sec", "vs_baseline": N}
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md) —
+its active pipeline is a single-GPU eager PyTorch loop with 4 separate
+optimizer graphs per batch.  We use a conservative estimate of the reference
+at 20 images/sec on its era GPU for the ratio; the absolute value is the
+number that matters and is recorded per round in BENCH_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_IMAGES_PER_SEC = 20.0  # unpublished; conservative single-GPU estimate
+
+
+def main():
+    from sba_gan_tpu.config import cfg_from_dict
+    from sba_gan_tpu.train import build_models, init_gan_state, make_gan_train_step
+
+    platform = jax.devices()[0].platform
+    # Flagship dims (configs/bird_style.yml); bfloat16 compute on TPU.
+    cfg = cfg_from_dict(
+        {
+            "TREE": {"BRANCH_NUM": 3, "BASE_SIZE": 64},
+            "GAN": {"GF_DIM": 32, "DF_DIM": 64, "Z_DIM": 100, "R_NUM": 2},
+            "TEXT": {"EMBEDDING_DIM": 256, "WORDS_NUM": 18},
+            "TRAIN": {
+                "BATCH_SIZE": 32 if platform == "tpu" else 4,
+                "SMOOTH": {"GAMMA1": 4.0, "GAMMA2": 5.0, "GAMMA3": 10.0,
+                           "LAMBDA": 5.0},
+            },
+            "JAX": {"DTYPE": "bfloat16" if platform == "tpu" else "float32"},
+        }
+    )
+    if platform != "tpu":
+        # CPU smoke mode: tiny dims so the bench completes anywhere.
+        cfg = cfg_from_dict(
+            {
+                "GAN": {"GF_DIM": 8, "DF_DIM": 8, "Z_DIM": 8, "W_DIM": 16,
+                        "CONDITION_DIM": 8, "R_NUM": 1},
+                "TEXT": {"EMBEDDING_DIM": 32, "WORDS_NUM": 6},
+                "MODEL": {"INCEPTION_INPUT": 75},
+            },
+            base=cfg,
+        )
+
+    b = cfg.TRAIN.BATCH_SIZE
+    t = cfg.TEXT.WORDS_NUM
+    n_words = 5450
+    models = build_models(cfg, n_words)
+    state = init_gan_state(cfg, models, jax.random.PRNGKey(0))
+    step = jax.jit(make_gan_train_step(cfg, models), donate_argnums=(0,))
+
+    rng = np.random.default_rng(0)
+    imgs = tuple(
+        jnp.asarray(
+            rng.uniform(-1, 1, (b, 64 * 2 ** i, 64 * 2 ** i, 3)).astype(np.float32)
+        )
+        for i in range(cfg.TREE.BRANCH_NUM)
+    )
+    captions = np.zeros((b, t), np.int32)
+    cap_lens = rng.integers(4, t + 1, (b,)).astype(np.int32)
+    for i, l in enumerate(cap_lens):
+        captions[i, :l] = rng.integers(1, n_words, (l,))
+    captions = jnp.asarray(captions)
+    cap_lens = jnp.asarray(cap_lens)
+    class_ids = jnp.asarray(rng.integers(0, 200, (b,)).astype(np.int32))
+    key = jax.random.PRNGKey(1)
+
+    warmup = cfg.BENCH.WARMUP_STEPS
+    measure = cfg.BENCH.MEASURE_STEPS
+    for _ in range(warmup):
+        state, logs = step(state, imgs, captions, cap_lens, class_ids, key)
+    jax.block_until_ready(state.g.params)
+
+    t0 = time.perf_counter()
+    for _ in range(measure):
+        state, logs = step(state, imgs, captions, cap_lens, class_ids, key)
+    jax.block_until_ready(state.g.params)
+    dt = time.perf_counter() - t0
+
+    ips = b * measure / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"gan_train_step_images_per_sec_256px_{platform}",
+                "value": round(ips, 2),
+                "unit": "images/sec",
+                "vs_baseline": round(ips / REFERENCE_IMAGES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

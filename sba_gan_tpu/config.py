@@ -106,6 +106,9 @@ def default_config() -> ConfigDict:
             # --- TPU-native extensions (no reference analogue) ---
             "MODEL": {
                 "TEXT_ENCODER": "rnn",  # 'rnn' | 'bert'
+                # Inception-v3 input resolution (reference model.py:210 fixes
+                # 299).  Smaller values give a cheap encoder for CPU tests.
+                "INCEPTION_INPUT": 299,
             },
             "JAX": {
                 "SEED": 100,

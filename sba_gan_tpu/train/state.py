@@ -1,0 +1,78 @@
+"""Train-state pytrees and optimizer constructors.
+
+The reference keeps per-network torch ``optim.Adam`` objects
+(AttnGAN2/code/trainer.py:132-145) and EMA generator weights held as a plain
+parameter list (trainer.py:68-70, 298-299).  Here every piece of mutable
+training state — parameters, batch-norm statistics, optimizer moments, EMA
+shadow, step counter — lives in one immutable pytree so a whole train step is
+a single pure jitted function over the device mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class NetState(struct.PyTreeNode):
+    """One network's mutable state: params + BN stats + optimizer moments."""
+
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+class GANTrainState(struct.PyTreeNode):
+    """Full GAN training state (reference trainer holds these as attributes
+    of condGANTrainer; trainer.py:48-157)."""
+
+    step: jax.Array  # scalar int32
+    g: NetState
+    g_ema: Any  # EMA shadow of g.params (reference avg_param, trainer.py:70)
+    ds: Tuple[NetState, ...]  # one per scale
+    text: Any  # frozen text-encoder variables {'params': ...}
+    image: Any  # frozen image-encoder variables {'params','batch_stats'}
+
+
+class DAMSMTrainState(struct.PyTreeNode):
+    """DAMSM pretraining state: joint text-encoder + image-projection update
+    (reference pretrain_DAMSM.py:166-192)."""
+
+    step: jax.Array
+    text_params: Any
+    image_params: Any
+    image_batch_stats: Any
+    opt_state: Any
+
+
+def make_gan_adam(lr: float) -> optax.GradientTransformation:
+    """Adam with the reference GAN hyperparameters (trainer.py:132-145):
+    lr 2e-4, betas (0.5, 0.999)."""
+    return optax.adam(lr, b1=0.5, b2=0.999, eps=1e-8)
+
+
+def make_damsm_optimizer(
+    lr: jax.Array | float, grad_clip: float
+) -> optax.GradientTransformation:
+    """DAMSM pretraining optimizer (pretrain_DAMSM.py:270, 96-97): Adam
+    (betas 0.5/0.999) with grad-norm clip.  The reference clips only the RNN
+    parameters; the clip here is applied per-subtree by the caller masking
+    gradients, so the transformation itself is unconditional."""
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adam(lr, b1=0.5, b2=0.999, eps=1e-8),
+    )
+
+
+def ema_update(ema_params: Any, params: Any, decay: float = 0.999) -> Any:
+    """avg_p = decay*avg_p + (1-decay)*p (reference trainer.py:298-299,
+    mul_(0.999).add_(0.001, p.data))."""
+    return jax.tree.map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+        ema_params,
+        params,
+    )

@@ -1,0 +1,106 @@
+"""DAMSM pretraining tests: loss decreases, freezing is enforced, lr decays."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sba_gan_tpu.config import cfg_from_dict
+from sba_gan_tpu.train.damsm import (
+    DAMSMTrainer,
+    build_damsm_models,
+    epoch_lr,
+    image_trainable_mask,
+)
+
+N_WORDS = 30
+
+
+def tiny_cfg():
+    return cfg_from_dict(
+        {
+            "TREE": {"BRANCH_NUM": 1},
+            "TEXT": {"EMBEDDING_DIM": 32, "WORDS_NUM": 6},
+            "MODEL": {"INCEPTION_INPUT": 75},
+            "TRAIN": {"ENCODER_LR": 2e-3},
+        }
+    )
+
+
+def make_batch(rng, b, t, size):
+    img = rng.uniform(-1, 1, (b, size, size, 3)).astype(np.float32)
+    cap_lens = rng.integers(2, t + 1, (b,)).astype(np.int32)
+    captions = np.zeros((b, t), np.int32)
+    for i, l in enumerate(cap_lens):
+        captions[i, :l] = rng.integers(1, N_WORDS, (l,))
+    class_ids = np.arange(b).astype(np.int32)  # all distinct classes
+    return img, captions, cap_lens, class_ids
+
+
+@pytest.fixture(scope="module")
+def trainer():
+    cfg = tiny_cfg()
+    models = build_damsm_models(cfg, N_WORDS)
+    return DAMSMTrainer(cfg, models, N_WORDS)
+
+
+def test_loss_decreases(trainer, rng):
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = make_batch(rng, 8, 6, 75)
+    key = jax.random.PRNGKey(1)
+    first = None
+    for i in range(8):
+        state, logs = trainer.train_step(state, *batch, key)
+        if first is None:
+            first = float(logs["total"])
+    assert float(logs["total"]) < first, (float(logs["total"]), first)
+
+
+def test_inception_trunk_frozen(trainer, rng):
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = make_batch(rng, 4, 6, 75)
+    new_state, _ = trainer.train_step(state, *batch, jax.random.PRNGKey(1))
+    # trunk unchanged, heads moved
+    old_bb = jax.tree.leaves(state.image_params["backbone"])
+    new_bb = jax.tree.leaves(new_state.image_params["backbone"])
+    assert all(np.allclose(a, b) for a, b in zip(old_bb, new_bb))
+    old_head = jax.tree.leaves(state.image_params["emb_features"])
+    new_head = jax.tree.leaves(new_state.image_params["emb_features"])
+    assert any(not np.allclose(a, b) for a, b in zip(old_head, new_head))
+    # text encoder moved
+    old_t = jax.tree.leaves(state.text_params)
+    new_t = jax.tree.leaves(new_state.text_params)
+    assert any(not np.allclose(a, b) for a, b in zip(old_t, new_t))
+
+
+def test_mask_unfreezes_mixed7():
+    cfg = tiny_cfg()
+    models = build_damsm_models(cfg, N_WORDS)
+    tr = DAMSMTrainer(cfg, models, N_WORDS)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    mask = image_trainable_mask(state.image_params, unfreeze_mixed7=True)
+    assert all(jax.tree.leaves(mask["backbone"]["Mixed_7a"]))
+    assert not any(jax.tree.leaves(mask["backbone"]["Mixed_6e"]))
+
+
+def test_eval_step_runs(trainer, rng):
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    img, captions, cap_lens, class_ids = make_batch(rng, 4, 6, 75)
+    logs = trainer.eval_step(state, img, captions, cap_lens, class_ids)
+    assert np.isfinite(float(logs["total"]))
+
+
+def test_epoch_lr_schedule():
+    # x0.98 per epoch with floor base/10 (pretrain_DAMSM.py:283-284)
+    assert epoch_lr(2e-4, 0) == 2e-4
+    assert np.isclose(epoch_lr(2e-4, 1), 2e-4 * 0.98)
+    assert epoch_lr(2e-4, 1000) >= 2e-4 / 10 * 0.98
+
+
+def test_reset_optimizer_sets_lr(trainer):
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = trainer.reset_optimizer(state, epoch=5)
+    text_opt, image_opt = state.opt_state
+    expect = epoch_lr(trainer.base_lr, 5)
+    assert np.isclose(float(text_opt[1].hyperparams["learning_rate"]), expect)
+    assert np.isclose(float(image_opt.hyperparams["learning_rate"]), expect)
