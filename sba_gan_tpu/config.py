@@ -120,7 +120,12 @@ def default_config() -> ConfigDict:
                 # (cross-replica) batch — automatic under jit over a sharded
                 # batch.  Recorded here for documentation/tests.
                 "SYNC_BATCHNORM": True,
-                "USE_PALLAS": True,  # fused TPU kernels where available
+                # Opt-in fused Pallas word-attention.  Measured on one v5e
+                # chip at bird_style dims (bf16, D=32, T=18, batch 32):
+                # XLA-fused path 2256 img/s vs Pallas 1906 img/s — the word
+                # table is too small for MXU tiling to win, so XLA stays the
+                # default; the kernel remains available for larger D/T.
+                "USE_PALLAS": False,
                 "LOSS_DTYPE": "float32",
             },
             "BENCH": {

@@ -59,9 +59,12 @@ class WordAttention(nn.Module):
 
     idf: int
     dtype: Any = jnp.float32
+    impl: str = "auto"  # 'auto' | 'pallas' | 'xla' | 'interpret'
 
     @nn.compact
     def __call__(self, h, words, pad_mask=None):
+        from sba_gan_tpu.ops.word_attention import word_attention
+
         b, ih, iw, idf = h.shape
         t = words.shape[1]
         # 1x1 conv over words == a Dense on the word axis (reference applies
@@ -71,20 +74,12 @@ class WordAttention(nn.Module):
         )(words)  # (B, T, idf)
 
         query = h.reshape(b, ih * iw, idf)  # (B, QL, idf)
-        # scores: (B, QL, T)
-        scores = jnp.einsum(
-            "bqd,btd->bqt", query, source, preferred_element_type=jnp.float32
-        )
-        mask = None if pad_mask is None else pad_mask[:, None, :]
-        attn = masked_softmax(scores, mask, axis=2)  # softmax over words
-        attn = attn.astype(h.dtype)
-        # context: (B, QL, idf)
-        context = jnp.einsum(
-            "bqt,btd->bqd", attn, source, preferred_element_type=jnp.float32
-        ).astype(h.dtype)
+        # fused scores -> masked softmax over words -> context
+        # (Pallas on TPU; XLA fallback preserves identical semantics)
+        context, attn = word_attention(query, source, pad_mask, impl=self.impl)
         return (
-            context.reshape(b, ih, iw, idf),
-            attn.reshape(b, ih, iw, t),
+            context.astype(h.dtype).reshape(b, ih, iw, idf),
+            attn.astype(h.dtype).reshape(b, ih, iw, t),
         )
 
 

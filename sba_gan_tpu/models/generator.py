@@ -76,12 +76,13 @@ class NextStageG(nn.Module):
 
     ngf: int
     num_residual: int = 2
+    attn_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, h_code, c_code, w_code, word_embs, pad_mask, train=True):
         # attention queries the *pre-AdaIN* features (model.py:416-417).
-        ctx, att = WordAttention(self.ngf, dtype=self.dtype)(
+        ctx, att = WordAttention(self.ngf, dtype=self.dtype, impl=self.attn_impl)(
             h_code, word_embs, pad_mask
         )
         h_styled = AdaINNorm(self.ngf, dtype=self.dtype)(h_code, w_code)
@@ -123,6 +124,7 @@ class GNet(nn.Module):
     mapping_layers: int = 6  # cfg.GAN.M_NUM
     z_concat: bool = True  # cfg.GAN.INIT_Z_CONCAT
     style_mixing: bool = False  # cfg.TRAIN.MIXING
+    attn_impl: str = "auto"  # word-attention kernel selection (cfg.JAX.USE_PALLAS)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -154,13 +156,15 @@ class GNet(nn.Module):
             fake_imgs.append(GetImageG(dtype=self.dtype)(h1))
         if self.branch_num > 1:
             h2, att1 = NextStageG(
-                ngf, num_residual=self.num_residual, dtype=self.dtype
+                ngf, num_residual=self.num_residual,
+                attn_impl=self.attn_impl, dtype=self.dtype,
             )(h1, c_code, w_code2, word_embs, pad_mask, train)
             fake_imgs.append(GetImageG(dtype=self.dtype)(h2))
             att_maps.append(att1)
         if self.branch_num > 2:
             h3, att2 = NextStageG(
-                ngf, num_residual=self.num_residual, dtype=self.dtype
+                ngf, num_residual=self.num_residual,
+                attn_impl=self.attn_impl, dtype=self.dtype,
             )(h2, c_code, w_code3, word_embs, pad_mask, train)
             fake_imgs.append(GetImageG(dtype=self.dtype)(h3))
             att_maps.append(att2)
@@ -179,6 +183,7 @@ class GDCGAN(nn.Module):
     num_residual: int = 2
     mapping_layers: int = 6
     z_concat: bool = True
+    attn_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -200,12 +205,14 @@ class GDCGAN(nn.Module):
         )
         if self.branch_num > 1:
             h, att1 = NextStageG(
-                ngf, num_residual=self.num_residual, dtype=self.dtype
+                ngf, num_residual=self.num_residual,
+                attn_impl=self.attn_impl, dtype=self.dtype,
             )(h, c_code, w_code, word_embs, pad_mask, train)
             att_maps.append(att1)
         if self.branch_num > 2:
             h, att2 = NextStageG(
-                ngf, num_residual=self.num_residual, dtype=self.dtype
+                ngf, num_residual=self.num_residual,
+                attn_impl=self.attn_impl, dtype=self.dtype,
             )(h, c_code, w_code, word_embs, pad_mask, train)
             att_maps.append(att2)
         fake_img = GetImageG(dtype=self.dtype)(h)
@@ -223,6 +230,7 @@ def build_generator(cfg) -> nn.Module:
         num_residual=cfg.GAN.R_NUM,
         mapping_layers=cfg.GAN.M_NUM,
         z_concat=cfg.GAN.INIT_Z_CONCAT,
+        attn_impl="auto" if cfg.JAX.USE_PALLAS else "xla",
         dtype=jnp.dtype(cfg.JAX.DTYPE),
     )
     if cfg.GAN.B_DCGAN:

@@ -1,0 +1,202 @@
+"""Inference REST service.
+
+Capability parity with the reference Flask service
+(AttnGAN2/eval/main.py:16-93 + eval/eval.py):
+
+* ``POST /api/v1.0/bird``  — one caption -> small/medium/large images + 2
+  word-attention maps (eval/main.py:16-36),
+* ``POST /api/v1.0/birds`` — six generations of the caption (:39-62),
+* ``GET  /``               — version string (:65-67),
+* per-request ``elapsed`` timing in the JSON response (:23-35).
+
+Re-designed for this environment: a dependency-free WSGI app (the image has
+no Flask) over the jitted sampler; images go to a pluggable
+:class:`BlobStore` — :class:`LocalDiskStore` by default (the reference
+uploads to Azure Blob, eval/eval.py:120-147) and are served back under
+``/images/``.  Run with ``python -m sba_gan_tpu.serving.app`` (wsgiref) or
+any WSGI server.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import time
+import uuid
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+__version__ = "1.0"
+
+
+class BlobStore:
+    """Minimal blob interface (reference BlockBlobService usage)."""
+
+    def put(self, name: str, data: bytes) -> str:
+        raise NotImplementedError
+
+    def get(self, name: str) -> Optional[bytes]:
+        raise NotImplementedError
+
+
+class LocalDiskStore(BlobStore):
+    def __init__(self, root: str, url_prefix: str = "/images"):
+        self.root = root
+        self.url_prefix = url_prefix
+        os.makedirs(root, exist_ok=True)
+
+    def put(self, name: str, data: bytes) -> str:
+        path = os.path.join(self.root, name)
+        os.makedirs(os.path.dirname(path) or self.root, exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(data)
+        return f"{self.url_prefix}/{name}"
+
+    def get(self, name: str) -> Optional[bytes]:
+        path = os.path.join(self.root, name)
+        if not os.path.isfile(path):
+            return None
+        with open(path, "rb") as f:
+            return f.read()
+
+
+def _png_bytes(img: np.ndarray) -> bytes:
+    from PIL import Image
+
+    from sba_gan_tpu.utils.image import to_uint8
+
+    buf = io.BytesIO()
+    Image.fromarray(to_uint8(img)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+class GanService:
+    """caption -> urls of generated stages + attention maps
+    (reference generate(), eval/eval.py:48-157)."""
+
+    def __init__(self, sampler: Callable, wordtoix: Dict[str, int],
+                 ixtoword: Dict[int, str], words_num: int, store: BlobStore):
+        self.sampler = sampler  # (captions, cap_lens, seed) -> (fakes, atts)
+        self.wordtoix = wordtoix
+        self.ixtoword = ixtoword
+        self.words_num = words_num
+        self.store = store
+
+    def generate(self, caption: str, copies: int = 1, seed: int = 0) -> Dict:
+        from sba_gan_tpu.data.vocab import encode_free_text
+        from sba_gan_tpu.utils.viz import build_super_images
+
+        t0 = time.time()
+        ids, lens = encode_free_text([caption] * copies, self.wordtoix,
+                                     self.words_num)
+        fakes, atts = self.sampler(ids.astype(np.int32),
+                                   lens.astype(np.int32), seed)
+        prefix = uuid.uuid4().hex[:12]
+        names = ["small", "medium", "large"]
+        urls: List[Dict] = []
+        for j in range(copies):
+            entry = {}
+            for k, stage in enumerate(fakes):
+                label = names[k] if k < len(names) else f"stage{k}"
+                url = self.store.put(
+                    f"{prefix}/{j}_{label}.png", _png_bytes(np.asarray(stage[j]))
+                )
+                entry[label] = url
+            for a, att in enumerate(atts):
+                stage_idx = min(a + 1, len(fakes) - 1)
+                grid = build_super_images(
+                    np.asarray(fakes[stage_idx][j: j + 1]),
+                    ids[j: j + 1].astype(np.int64),
+                    self.ixtoword,
+                    np.asarray(att[j: j + 1]),
+                )
+                url = self.store.put(f"{prefix}/{j}_attn{a}.png",
+                                     _png_bytes(grid / 127.5 - 1.0))
+                entry[f"map{a + 1}"] = url
+            urls.append(entry)
+        return {"caption": caption, "results": urls,
+                "elapsed": round(time.time() - t0, 3)}
+
+
+def make_wsgi_app(service: GanService):
+    def respond(start, status: str, payload, ctype="application/json"):
+        body = payload if isinstance(payload, bytes) else json.dumps(payload).encode()
+        start(status, [("Content-Type", ctype),
+                       ("Content-Length", str(len(body)))])
+        return [body]
+
+    def app(environ, start_response):
+        path = environ.get("PATH_INFO", "/")
+        method = environ.get("REQUEST_METHOD", "GET")
+        if method == "GET" and path == "/":
+            return respond(start_response, "200 OK",
+                           {"version": __version__, "name": "sba_gan_tpu"})
+        if method == "GET" and path.startswith("/images/"):
+            data = service.store.get(path[len("/images/"):])
+            if data is None:
+                return respond(start_response, "404 Not Found",
+                               {"error": "not found"})
+            return respond(start_response, "200 OK", data, "image/png")
+        if method == "POST" and path in ("/api/v1.0/bird", "/api/v1.0/birds"):
+            try:
+                n = int(environ.get("CONTENT_LENGTH") or 0)
+                req = json.loads(environ["wsgi.input"].read(n) or b"{}")
+                caption = req["caption"]
+            except (KeyError, ValueError, json.JSONDecodeError):
+                return respond(start_response, "400 Bad Request",
+                               {"error": "body must be JSON with 'caption'"})
+            copies = 6 if path.endswith("birds") else 1
+            out = service.generate(caption, copies=copies,
+                                   seed=int(req.get("seed", 0)))
+            return respond(start_response, "200 OK", out)
+        return respond(start_response, "404 Not Found", {"error": "no route"})
+
+    return app
+
+
+def build_default_service(cfg, trainer, store_root: str) -> GanService:
+    """Wire a GanService onto a GANTrainer's jitted sampler."""
+    import jax
+
+    def sampler(ids, lens, seed):
+        return trainer.sample_fn(trainer.state, ids, lens,
+                                 jax.random.PRNGKey(seed))
+
+    ds = trainer.dataset
+    return GanService(sampler, ds.wordtoix, ds.ixtoword,
+                      cfg.TEXT.WORDS_NUM, LocalDiskStore(store_root))
+
+
+def main():  # pragma: no cover - manual serving entry
+    import argparse
+
+    from sba_gan_tpu.config import cfg_from_file, default_config
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", default=None)
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--synthetic", action="store_true")
+    args = p.parse_args()
+
+    cfg = cfg_from_file(args.cfg) if args.cfg else default_config()
+    cfg.TRAIN.FLAG = False
+    from sba_gan_tpu.main import build_dataset
+    from sba_gan_tpu.train.loop import GANTrainer
+
+    ds = build_dataset(cfg, args.synthetic, "test")
+    n_words = ds.n_words if hasattr(ds, "n_words") else len(ds.ixtoword)
+    trainer = GANTrainer(cfg, args.model_dir, ds, n_words, ds.ixtoword)
+    trainer.resume()
+    service = build_default_service(cfg, trainer,
+                                    os.path.join(args.model_dir, "blobs"))
+    from wsgiref.simple_server import make_server
+
+    print(f"serving on :{args.port}")
+    make_server("", args.port, make_wsgi_app(service)).serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Trainer-orchestration tests: one epoch on synthetic data, checkpoint
+round-trip, sampling output files, gen_example artifacts, viz shapes."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from sba_gan_tpu.config import cfg_from_dict
+from sba_gan_tpu.data.cub import SyntheticDataset
+from sba_gan_tpu.train.loop import GANTrainer
+from sba_gan_tpu.utils.image import make_grid, to_uint8
+from sba_gan_tpu.utils.viz import build_super_images
+
+N_WORDS = 40
+
+
+def tiny_cfg(tmp):
+    return cfg_from_dict(
+        {
+            "DATA_DIR": str(tmp),
+            "WORKERS": 0,
+            "TREE": {"BRANCH_NUM": 2, "BASE_SIZE": 64},
+            "TRAIN": {"BATCH_SIZE": 8, "MAX_EPOCH": 1, "SNAPSHOT_INTERVAL": 1},
+            "GAN": {"GF_DIM": 8, "DF_DIM": 8, "Z_DIM": 8, "W_DIM": 16,
+                    "CONDITION_DIM": 8, "R_NUM": 1},
+            "TEXT": {"EMBEDDING_DIM": 32, "WORDS_NUM": 6},
+            "MODEL": {"INCEPTION_INPUT": 75},
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("gan_out")
+    cfg = tiny_cfg(tmp)
+    ds = SyntheticDataset(
+        num_examples=16, branch_num=2, words_num=6, n_words=N_WORDS
+    )
+    return GANTrainer(cfg, str(tmp), ds, N_WORDS, ds.ixtoword,
+                      log_every=1, image_every=2)
+
+
+def test_one_epoch_and_snapshot(trainer):
+    trainer.train(max_epoch=1)
+    assert int(trainer.state.step) == 2  # 16 examples / batch 8
+    assert trainer.ckpt.latest_step() == 0
+    # attention grid dumped at step 2
+    assert os.path.exists(os.path.join(trainer.image_dir, "attn_2.png"))
+
+
+def test_checkpoint_roundtrip(trainer):
+    restored = trainer.ckpt.restore(trainer.state)
+    a = jax.tree.leaves(trainer.state.g.params)
+    b = jax.tree.leaves(restored.g.params)
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+    # resume() picks up the latest snapshot
+    assert trainer.resume()
+    assert trainer.start_epoch == 1
+
+
+def test_sampling_writes_pngs(trainer):
+    out = trainer.sampling("valid")
+    files = os.listdir(out)
+    assert len(files) == 16
+    assert all(f.endswith("_s-1.png") for f in files)
+
+
+def test_gen_example(trainer):
+    caps = np.zeros((2, 6), np.int32)
+    caps[0, :4] = [3, 5, 7, 9]
+    caps[1, :3] = [2, 4, 6]
+    data_dic = {"cap0": (caps, np.array([4, 3], np.int32), None)}
+    root = trainer.gen_example(data_dic)
+    files = os.listdir(os.path.join(root, "cap0"))
+    # 2 captions x 2 stages + attention grid
+    assert len([f for f in files if f.endswith(".png")]) == 5
+    assert "attention_maps.png" in files
+
+
+def test_build_super_images_shape():
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(-1, 1, (3, 64, 64, 3)).astype(np.float32)
+    caps = np.zeros((3, 5), np.int64)
+    caps[:, :3] = rng.integers(1, 10, (3, 3))
+    attn = rng.uniform(0, 1, (3, 8, 8, 5)).astype(np.float32)
+    grid = build_super_images(imgs, caps, {i: f"w{i}" for i in range(10)}, attn)
+    assert grid.dtype == np.uint8
+    assert grid.shape[0] == 3 * (64 + 16 + 2)
+    assert grid.shape[1] == 6 * (64 + 2)
+
+
+def test_make_grid_and_uint8():
+    imgs = [np.full((4, 4, 3), -1.0), np.full((4, 4, 3), 1.0)]
+    g = make_grid(imgs, nrow=2)
+    assert g.dtype == np.uint8
+    assert to_uint8(np.array([[-1.0]]))[0, 0] == 0
+    assert to_uint8(np.array([[1.0]]))[0, 0] == 255
