@@ -73,6 +73,7 @@ class TextImageDataset:
         captions_per_image: int = 10,
         b_dcgan: bool = False,
         seed: int = 0,
+        vocab: str = "word",  # 'word' (datasets.py) | 'bert' (datasets_bert.py)
     ):
         self.data_dir = data_dir
         self.split = split
@@ -88,11 +89,20 @@ class TextImageDataset:
         self.bbox = load_bboxes(data_dir) if "birds" in data_dir else None
         train_names = load_filenames(data_dir, "train")
         test_names = load_filenames(data_dir, "test")
-        train_caps, test_caps, self.ixtoword, self.wordtoix = (
-            load_or_build_captions(
-                data_dir, train_names, test_names, captions_per_image
+        if vocab == "bert":
+            from sba_gan_tpu.data.vocab import load_or_build_captions_bert
+
+            train_caps, test_caps, self.ixtoword, self.wordtoix = (
+                load_or_build_captions_bert(
+                    data_dir, train_names, test_names, captions_per_image
+                )
             )
-        )
+        else:
+            train_caps, test_caps, self.ixtoword, self.wordtoix = (
+                load_or_build_captions(
+                    data_dir, train_names, test_names, captions_per_image
+                )
+            )
         self.n_words = len(self.ixtoword)
         if split == "train":
             self.filenames, self.captions = train_names, train_caps

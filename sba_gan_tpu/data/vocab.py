@@ -173,3 +173,60 @@ def bert_vocab_encode(sentences, words_num: int):
         ids.append(row)
         lens.append(len(enc))
     return np.stack(ids), np.asarray(lens, dtype=np.int64)
+
+
+def get_bert_tokenizer():
+    """Locally-cached bert-base-uncased tokenizer or RuntimeError (zero
+    egress; reference datasets_bert.py:199-201 downloads it)."""
+    try:
+        from transformers import BertTokenizerFast
+
+        return BertTokenizerFast.from_pretrained(
+            "bert-base-uncased", local_files_only=True
+        )
+    except Exception as e:
+        raise RuntimeError(
+            "bert-base-uncased tokenizer is not available locally; "
+            "provide a cached tokenizer or use the word-id vocabulary"
+        ) from e
+
+
+def load_or_build_captions_bert(
+    data_dir: str,
+    train_names,
+    test_names,
+    captions_per_image: int,
+    cache_name: str = "captions_bert.pickle",
+):
+    """BERT-wordpiece caption cache (reference datasets_bert.py:199-229:
+    wordtoix is the BERT vocab, cache file captions_bert.pickle).  The pickle
+    layout matches the word-id variant so downstream code is shared."""
+    import pickle as _pickle
+
+    filepath = os.path.join(data_dir, cache_name)
+    if os.path.isfile(filepath):
+        with open(filepath, "rb") as f:
+            train_captions, test_captions, ixtoword, wordtoix = _pickle.load(f)[:4]
+        return train_captions, test_captions, ixtoword, wordtoix
+
+    tok = get_bert_tokenizer()
+    wordtoix = dict(tok.get_vocab())
+    ixtoword = {i: w for w, i in wordtoix.items()}
+
+    def encode(names):
+        caps = load_caption_files(data_dir, names, captions_per_image)
+        # wordpiece-encode the already-tokenized words (the reference
+        # tokenizes the raw sentence; joining the regex tokens first is
+        # equivalent for the \w+ vocabulary)
+        return [
+            tok(" ".join(sent), add_special_tokens=False)["input_ids"]
+            for sent in caps
+        ]
+
+    train_captions = encode(train_names)
+    test_captions = encode(test_names)
+    with open(filepath, "wb") as f:
+        _pickle.dump(
+            [train_captions, test_captions, ixtoword, wordtoix], f, protocol=2
+        )
+    return train_captions, test_captions, ixtoword, wordtoix

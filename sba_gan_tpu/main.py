@@ -62,6 +62,7 @@ def build_dataset(cfg, synthetic: bool, split: str):
         captions_per_image=cfg.TEXT.CAPTIONS_PER_IMAGE,
         b_dcgan=cfg.GAN.B_DCGAN,
         seed=cfg.JAX.SEED,
+        vocab="bert" if cfg.MODEL.TEXT_ENCODER == "bert" else "word",
     )
 
 

@@ -347,11 +347,16 @@ def make_sample_fn(cfg, models: GANModels, use_ema: bool = True, train: bool = F
     def sample(state: GANTrainState, captions, cap_lens, rng):
         b = captions.shape[0]
         rng_z, rng_ca = jax.random.split(rng)
+        z = jax.random.normal(rng_z, noise_shape(cfg, b), jnp.float32)
+        return sample_with_noise(state, captions, cap_lens, z, rng_ca)
+
+    def sample_with_noise(state: GANTrainState, captions, cap_lens, z, rng_ca):
+        """Explicit-noise variant — the style-mixing gen_example feeds the
+        same two z draws in both orders (trainer_bert.py:485-548)."""
         words_embs, sent_emb = text_encoder.apply(
             state.text, captions, cap_lens, train=False
         )
         pad_mask = captions == 0
-        z = jax.random.normal(rng_z, noise_shape(cfg, b), jnp.float32)
         params = state.g_ema if use_ema else state.g.params
         fakes, att, _, _ = generator.apply(
             {"params": params, "batch_stats": state.g.batch_stats},
@@ -365,4 +370,5 @@ def make_sample_fn(cfg, models: GANModels, use_ema: bool = True, train: bool = F
         )
         return tuple(fakes), tuple(att)
 
+    sample.with_noise = sample_with_noise
     return sample

@@ -25,6 +25,7 @@ import time
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from sba_gan_tpu.data.pipeline import DataLoader
@@ -89,7 +90,9 @@ class GANTrainer:
         self.step_fn = jax.jit(
             make_gan_train_step(cfg, self.models), donate_argnums=donate
         )
-        self.sample_fn = jax.jit(make_sample_fn(cfg, self.models))
+        _sample = make_sample_fn(cfg, self.models)
+        self.sample_fn = jax.jit(_sample)
+        self.sample_noise_fn = jax.jit(_sample.with_noise)
         self.ckpt = Checkpointer(self.model_dir) if cfg.TRAIN.FLAG else None
         self.start_epoch = 0
 
@@ -242,4 +245,30 @@ class GANTrainer:
                 Image.fromarray(grid).save(
                     os.path.join(save_dir, "attention_maps.png")
                 )
+            if self.cfg.TRAIN.MIXING:
+                self._gen_mixing_variants(save_dir, captions, cap_lens)
         return save_root
+
+    def _gen_mixing_variants(self, save_dir, captions, cap_lens):
+        """Style-mixing outputs: the two w codes injected in both orders plus
+        each alone — the reference's _AB/_BA/_A/_B image sets
+        (trainer_bert.py:485-548)."""
+        b = captions.shape[0]
+        z_dim = self.cfg.GAN.Z_DIM
+        rng = jax.random.PRNGKey(self.cfg.JAX.SEED)
+        r0, r1, rca = jax.random.split(rng, 3)
+        z0 = jax.random.normal(r0, (b, z_dim), jnp.float32)
+        z1 = jax.random.normal(r1, (b, z_dim), jnp.float32)
+        variants = {
+            "AB": jnp.stack([z0, z1]),
+            "BA": jnp.stack([z1, z0]),
+            "A": jnp.stack([z0, z0]),
+            "B": jnp.stack([z1, z1]),
+        }
+        for tag, z in variants.items():
+            fakes, _ = self.sample_noise_fn(self.state, captions, cap_lens, z, rca)
+            final = np.asarray(fakes[-1])
+            for j in range(final.shape[0]):
+                save_image(
+                    final[j], os.path.join(save_dir, f"{j}_mix_{tag}.png")
+                )

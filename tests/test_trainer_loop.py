@@ -79,6 +79,22 @@ def test_gen_example(trainer):
     assert "attention_maps.png" in files
 
 
+def test_gen_example_mixing_variants(tmp_path):
+    cfg = tiny_cfg(tmp_path)
+    cfg.TRAIN.MIXING = True
+    cfg.GAN.INIT_Z_CONCAT = False
+    ds = SyntheticDataset(num_examples=8, branch_num=2, words_num=6,
+                          n_words=N_WORDS)
+    tr = GANTrainer(cfg, str(tmp_path), ds, N_WORDS, ds.ixtoword)
+    caps = np.zeros((2, 6), np.int32)
+    caps[:, :3] = [[3, 5, 7], [2, 4, 6]]
+    root = tr.gen_example({"mix0": (caps, np.array([3, 3], np.int32), None)})
+    files = os.listdir(os.path.join(root, "mix0"))
+    for tag in ("AB", "BA", "A", "B"):
+        assert f"0_mix_{tag}.png" in files, files
+        assert f"1_mix_{tag}.png" in files
+
+
 def test_build_super_images_shape():
     rng = np.random.default_rng(0)
     imgs = rng.uniform(-1, 1, (3, 64, 64, 3)).astype(np.float32)
