@@ -109,6 +109,9 @@ def default_config() -> ConfigDict:
                 # Inception-v3 input resolution (reference model.py:210 fixes
                 # 299).  Smaller values give a cheap encoder for CPU tests.
                 "INCEPTION_INPUT": 299,
+                # pixel path: 'pil' = exact reference preprocessing parity;
+                # 'native' = C++ decode/crop/resize (sba_gan_tpu/native/).
+                "IMAGE_LOADER": "pil",
             },
             "JAX": {
                 "SEED": 100,

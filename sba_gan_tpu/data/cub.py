@@ -74,8 +74,15 @@ class TextImageDataset:
         b_dcgan: bool = False,
         seed: int = 0,
         vocab: str = "word",  # 'word' (datasets.py) | 'bert' (datasets_bert.py)
+        loader: str = "pil",  # 'pil' (parity) | 'native' (C++ speed path)
     ):
         self.data_dir = data_dir
+        self._native = None
+        if loader == "native":
+            from sba_gan_tpu.data.native_loader import NativeImageLoader
+
+            if NativeImageLoader.available():
+                self._native = NativeImageLoader()
         self.split = split
         self.branch_num = branch_num
         self.words_num = words_num
@@ -122,20 +129,58 @@ class TextImageDataset:
             )
         return os.path.join(self.data_dir, "images", key + ".jpg")
 
+    def _load_native(self, key: str):
+        """Speed-mode pixel path: geometry computed here, decode/crop/resize
+        in C++ (sba_gan_tpu/native/sba_loader.cpp)."""
+        path = self._image_path(key)
+        with Image.open(path) as im:
+            w, h = im.size  # header-only read
+        bbox_rect = None
+        if self.bbox is not None:
+            bx, by, bw, bh = self.bbox[key]
+            r = int(max(bw, bh) * 0.75)
+            cx, cy = int((2 * bx + bw) / 2), int((2 * by + bh) / 2)
+            x1, y1 = max(0, cx - r), max(0, cy - r)
+            x2, y2 = min(w, cx + r), min(h, cy + r)
+            bbox_rect = (x1, y1, x2 - x1, y2 - y1)
+            w, h = x2 - x1, y2 - y1
+        final = self.imsize[-1]
+        target = int(final * 76 / 64)
+        if w <= h:
+            new_w, new_h = target, max(1, int(round(target * h / w)))
+        else:
+            new_w, new_h = max(1, int(round(target * w / h))), target
+        if self.train_mode:
+            x = int(self.rng.integers(0, new_w - final + 1))
+            y = int(self.rng.integers(0, new_h - final + 1))
+            hflip = bool(self.rng.random() < 0.5)
+        else:
+            x, y = (new_w - final) // 2, (new_h - final) // 2
+            hflip = False
+        sizes = [final] if self.b_dcgan else list(self.imsize)
+        return self._native.load(
+            path, sizes=sizes, bbox=bbox_rect, pre_size=(new_w, new_h),
+            crop2=(x, y, final, final), hflip=hflip,
+        )
+
     def __getitem__(self, index: int):
         key = self.filenames[index]
-        img = Image.open(self._image_path(key)).convert("RGB")
-        if self.bbox is not None:
-            img = T.bbox_crop(img, self.bbox[key])
-        final_size = self.imsize[-1]
-        if self.train_mode:
-            img = T.train_transform(img, final_size, self.rng)
+        path = self._image_path(key)
+        if self._native is not None and path.lower().endswith((".jpg", ".jpeg")):
+            imgs = self._load_native(key)
         else:
-            img = T.eval_transform(img, final_size)
-        if self.b_dcgan:
-            imgs = [T.normalize_to_unit(img)]
-        else:
-            imgs = T.multiscale_branches(img, self.imsize)
+            img = Image.open(path).convert("RGB")
+            if self.bbox is not None:
+                img = T.bbox_crop(img, self.bbox[key])
+            final_size = self.imsize[-1]
+            if self.train_mode:
+                img = T.train_transform(img, final_size, self.rng)
+            else:
+                img = T.eval_transform(img, final_size)
+            if self.b_dcgan:
+                imgs = [T.normalize_to_unit(img)]
+            else:
+                imgs = T.multiscale_branches(img, self.imsize)
 
         # random 1-of-N caption (reference __getitem__, datasets.py:314-317)
         sent_ix = int(self.rng.integers(0, self.embeddings_num))

@@ -63,6 +63,7 @@ def build_dataset(cfg, synthetic: bool, split: str):
         b_dcgan=cfg.GAN.B_DCGAN,
         seed=cfg.JAX.SEED,
         vocab="bert" if cfg.MODEL.TEXT_ENCODER == "bert" else "word",
+        loader=cfg.MODEL.IMAGE_LOADER,
     )
 
 

@@ -13,6 +13,7 @@ global under jit.
 
 from sba_gan_tpu.parallel.mesh import (
     batch_sharding,
+    init_distributed,
     local_batch_size,
     make_mesh,
     replicated,
@@ -22,6 +23,7 @@ from sba_gan_tpu.parallel.mesh import (
 __all__ = [
     "make_mesh",
     "batch_sharding",
+    "init_distributed",
     "replicated",
     "shard_batch",
     "local_batch_size",

@@ -24,6 +24,31 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up: ``jax.distributed.initialize`` — the TPU
+    analogue of the NCCL ``init_process_group`` the reference left commented
+    out (Old_Code/train.py:390).  On TPU pods all arguments come from the
+    environment; arguments are for CPU/GPU test rigs.  After this,
+    ``jax.devices()`` spans the slice and the same ``make_mesh`` + jit path
+    scales over ICI (intra-slice) and DCN (multi-slice) unchanged."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except Exception as e:  # single-process dev rig
+        import logging
+
+        logging.getLogger(__name__).info("distributed init skipped: %s", e)
+
+
 def make_mesh(
     cfg=None,
     devices: Optional[Sequence[jax.Device]] = None,

@@ -38,6 +38,7 @@ from sba_gan_tpu.train.gan import (
 )
 from sba_gan_tpu.utils.checkpoint import Checkpointer
 from sba_gan_tpu.utils.image import mkdir_p, save_image
+from sba_gan_tpu.utils.profiling import StepTimer
 from sba_gan_tpu.utils.viz import build_super_images, build_super_images2
 
 
@@ -127,6 +128,7 @@ class GANTrainer:
         )
         rng = jax.random.PRNGKey(cfg.JAX.SEED + 1)
         gstep = int(self.state.step)
+        timer = StepTimer()
         for epoch in range(self.start_epoch, max_epoch):
             t0 = time.time()
             for batch in loader:
@@ -139,6 +141,7 @@ class GANTrainer:
                     rng,
                 )
                 gstep += 1
+                timer.tick(cfg.TRAIN.BATCH_SIZE)
                 if gstep % self.log_every == 0:
                     logs = {k: float(v) for k, v in logs.items()}
                     d_str = " ".join(
@@ -147,7 +150,9 @@ class GANTrainer:
                     )
                     print(
                         f"[{epoch}][{gstep}] {d_str} errG: {logs['errG']:.2f} "
-                        f"kl: {logs['kl_loss']:.4f}"
+                        f"kl: {logs['kl_loss']:.4f} | "
+                        f"{timer.ms_per_batch:.0f} ms/batch "
+                        f"{timer.images_per_sec(cfg.TRAIN.BATCH_SIZE):.1f} img/s"
                     )
                 if gstep % self.image_every == 0:
                     self.save_img_results(batch, gstep)

@@ -1,0 +1,86 @@
+"""TextImageDataset tests on a generated mini-CUB layout on disk: caption
+cache build, item shapes, PIL vs native loader agreement."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from sba_gan_tpu.data.cub import TextImageDataset
+from sba_gan_tpu.data.native_loader import NativeImageLoader
+
+
+@pytest.fixture(scope="module")
+def mini_cub(tmp_path_factory):
+    root = tmp_path_factory.mktemp("birds")
+    base = root / "CUB_200_2011" / "CUB_200_2011"
+    img_dir = base / "images" / "001.Species"
+    os.makedirs(img_dir)
+    os.makedirs(root / "text" / "001.Species")
+    os.makedirs(root / "train")
+    os.makedirs(root / "test")
+
+    rng = np.random.default_rng(0)
+    names, lines_img, lines_box = [], [], []
+    for i in range(4):
+        key = f"001.Species/bird_{i:04d}"
+        names.append(key)
+        x = np.linspace(0, 255, 96, dtype=np.float32)
+        grad = np.stack(np.meshgrid(x, x), -1).sum(-1) / 2
+        arr = np.stack([grad, grad[::-1], grad.T], -1).astype(np.uint8)
+        Image.fromarray(arr).save(str(base / "images" / (key + ".jpg")),
+                                  quality=95)
+        lines_img.append(f"{i + 1} {key}.jpg")
+        lines_box.append(f"{i + 1} 10.0 12.0 60.0 55.0")
+        with open(root / "text" / (key + ".txt"), "w") as f:
+            for j in range(10):
+                f.write(f"a small bird with color {i} pose {j}\n")
+    (base / "images.txt").write_text("\n".join(lines_img))
+    (base / "bounding_boxes.txt").write_text("\n".join(lines_box))
+    with open(root / "train" / "filenames.pickle", "wb") as f:
+        pickle.dump(names[:3], f)
+    with open(root / "test" / "filenames.pickle", "wb") as f:
+        pickle.dump(names[3:], f)
+    return str(root)
+
+
+def test_build_cache_and_item(mini_cub):
+    ds = TextImageDataset(mini_cub, split="train", base_size=32,
+                          branch_num=2, words_num=8)
+    assert os.path.isfile(os.path.join(mini_cub, "captions.pickle"))
+    assert len(ds) == 3
+    imgs, caps, cap_len, cls, key = ds[0]
+    assert len(imgs) == 2
+    assert imgs[0].shape == (32, 32, 3) and imgs[1].shape == (64, 64, 3)
+    assert imgs[1].dtype == np.float32
+    assert -1.0 <= imgs[1].min() and imgs[1].max() <= 1.0
+    assert 0 < cap_len <= 8
+    assert caps.shape == (8,)
+    assert ds.n_words > 5
+
+
+@pytest.mark.skipif(not NativeImageLoader.available(),
+                    reason="native loader missing")
+def test_native_matches_pil_eval_mode(mini_cub):
+    """Eval mode is deterministic: the two pixel paths must agree closely."""
+    pil = TextImageDataset(mini_cub, split="test", base_size=32,
+                           branch_num=2, words_num=8, loader="pil")
+    nat = TextImageDataset(mini_cub, split="test", base_size=32,
+                           branch_num=2, words_num=8, loader="native")
+    a = pil[0][0]
+    b = nat[0][0]
+    for x, y in zip(a, b):
+        assert x.shape == y.shape
+        assert np.mean(np.abs(x - y)) < 0.08  # resampler-convention delta
+
+
+@pytest.mark.skipif(not NativeImageLoader.available(),
+                    reason="native loader missing")
+def test_native_train_mode_shapes(mini_cub):
+    nat = TextImageDataset(mini_cub, split="train", base_size=32,
+                           branch_num=2, words_num=8, loader="native")
+    imgs, *_ = nat[1]
+    assert imgs[0].shape == (32, 32, 3) and imgs[1].shape == (64, 64, 3)
+    assert all(np.isfinite(i).all() for i in imgs)

@@ -90,6 +90,23 @@ def test_eval_step_runs(trainer, rng):
     assert np.isfinite(float(logs["total"]))
 
 
+def test_step_sharded_over_mesh(trainer, rng, cpu_devices):
+    """DAMSM step over the 8-device data mesh (SPMD path)."""
+    import jax as _jax
+    from sba_gan_tpu.parallel import batch_sharding, make_mesh, replicated
+
+    mesh = make_mesh(trainer.cfg)
+    bsh, rsh = batch_sharding(mesh), replicated(mesh)
+    state = _jax.device_put(trainer.init_state(_jax.random.PRNGKey(0)), rsh)
+    img, captions, cap_lens, class_ids = make_batch(rng, 8, 6, 75)
+    args = [
+        _jax.device_put(np.asarray(a), bsh)
+        for a in (img, captions, cap_lens, class_ids)
+    ]
+    state, logs = trainer.train_step(state, *args, _jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs["total"]))
+
+
 def test_epoch_lr_schedule():
     # x0.98 per epoch with floor base/10 (pretrain_DAMSM.py:283-284)
     assert epoch_lr(2e-4, 0) == 2e-4
