@@ -123,17 +123,18 @@ def default_config() -> ConfigDict:
                 # (cross-replica) batch — automatic under jit over a sharded
                 # batch.  Recorded here for documentation/tests.
                 "SYNC_BATCHNORM": True,
-                # Opt-in fused Pallas word-attention.  Measured on one v5e
-                # chip at bird_style dims (bf16, D=32, T=18, batch 32):
-                # XLA-fused path 2256 img/s vs Pallas 1906 img/s — the word
-                # table is too small for MXU tiling to win, so XLA stays the
-                # default; the kernel remains available for larger D/T.
+                # Opt-in fused Pallas word-attention.  Measured on one TPU
+                # chip at bird_style dims (bf16, D=32, T=18, full train
+                # step): XLA-fused 25.4k img/s vs Pallas 20.6k at batch 128
+                # (6.8k vs 5.2k at batch 32) — the word table is too small
+                # for MXU tiling to win, so XLA stays the default; the
+                # kernel remains available for larger D/T regimes.
                 "USE_PALLAS": False,
                 "LOSS_DTYPE": "float32",
             },
             "BENCH": {
-                "WARMUP_STEPS": 3,
-                "MEASURE_STEPS": 10,
+                "WARMUP_STEPS": 5,
+                "MEASURE_STEPS": 30,
             },
         }
     )

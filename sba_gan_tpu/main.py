@@ -114,6 +114,23 @@ def main():
 
     trainer = GANTrainer(cfg, output_dir, dataset, n_words, dataset.ixtoword)
 
+    # Reference-checkpoint import: NET_E names the text encoder and implies
+    # the image encoder path (trainer.py:59-67: replace 'text_encoder' ->
+    # 'image_encoder'); NET_G is the (EMA) generator (trainer.py:105-113).
+    net_e = cfg.TRAIN.NET_E
+    net_g = cfg.TRAIN.NET_G
+    if (net_e and os.path.isfile(net_e)) or (net_g and os.path.isfile(net_g)):
+        trainer.load_torch_weights(
+            net_g=net_g if net_g and os.path.isfile(net_g) else None,
+            net_e_text=net_e if net_e and os.path.isfile(net_e) else None,
+            net_e_image=(
+                net_e.replace("text_encoder", "image_encoder")
+                if net_e
+                and os.path.isfile(net_e.replace("text_encoder", "image_encoder"))
+                else None
+            ),
+        )
+
     if cfg.TRAIN.FLAG:
         trainer.resume()
         trainer.train(max_epoch=args.max_epoch)

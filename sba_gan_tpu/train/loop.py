@@ -113,6 +113,38 @@ class GANTrainer:
         print(f"Resumed from epoch {epoch}")
         return True
 
+    def load_torch_weights(
+        self,
+        net_g: Optional[str] = None,
+        net_e_text: Optional[str] = None,
+        net_e_image: Optional[str] = None,
+    ):
+        """Import reference PyTorch checkpoints (reference loads
+        cfg.TRAIN.NET_G / NET_E into the torch modules, trainer.py:48-122).
+        netG .pth files carry EMA weights (saved swapped-in,
+        trainer.py:159-170), so both g.params and g_ema receive them."""
+        from sba_gan_tpu.utils.torch_port import (
+            load_torch_state_dict,
+            port_cnn_encoder,
+            port_g_net,
+            port_rnn_encoder,
+        )
+
+        state = self.state
+        if net_g:
+            params, stats = port_g_net(load_torch_state_dict(net_g))
+            g = state.g.replace(params=params, batch_stats=stats)
+            state = state.replace(g=g, g_ema=jax.tree.map(np.asarray, params))
+        if net_e_text:
+            params = port_rnn_encoder(load_torch_state_dict(net_e_text))
+            state = state.replace(text={"params": params})
+        if net_e_image:
+            params, stats = port_cnn_encoder(load_torch_state_dict(net_e_image))
+            state = state.replace(
+                image={"params": params, "batch_stats": stats}
+            )
+        self.state = jax.device_put(state, self.replicated)
+
     # ---- train loop -------------------------------------------------------
     def train(self, max_epoch: Optional[int] = None):
         cfg = self.cfg

@@ -118,6 +118,108 @@ def port_rnn_encoder(state_dict: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     return params
 
 
+def port_g_net(
+    state_dict: Mapping[str, np.ndarray]
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Returns (params, batch_stats) for GNet from a reference G_NET
+    checkpoint (netG_epoch_{E}.pth — EMA weights already swapped in by the
+    reference saver, trainer.py:159-170).
+
+    Reference module names (model.py:440-492 / model_bert.py:542-594):
+      ca_net.fc | mapping_net.fc.N | h_net1.fc.{0 linear,1 BN1d} |
+      h_net1.upsampleK.{1 conv,2 BN} | img_netI.img.0 |
+      h_netJ.{att.conv_context, adain.style, residual.R.block.{0,1,3,4},
+      upsample.{1,2}}
+    mapped onto the Flax tree (CANet_0, MappingNet_0, InitStageG_0,
+    GetImageG_I, NextStageG_J with Conv3x3/BatchNorm submodules).
+    """
+    params: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
+
+    def put_linear(flax_path, leaf, value):
+        if leaf == "weight":
+            _set(params, flax_path + ("kernel",), dense_kernel(value))
+        else:
+            _set(params, flax_path + ("bias",), value)
+
+    def put_conv(flax_path, value):
+        _set(params, flax_path + ("Conv_0", "kernel"), conv_kernel(value))
+
+    def put_bn(flax_path, leaf, value):
+        base = flax_path + ("BatchNorm_0",)
+        if leaf == "weight":
+            _set(params, base + ("scale",), value)
+        elif leaf == "bias":
+            _set(params, base + ("bias",), value)
+        elif leaf == "running_mean":
+            _set(batch_stats, base + ("mean",), value)
+        elif leaf == "running_var":
+            _set(batch_stats, base + ("var",), value)
+
+    for key, value in state_dict.items():
+        parts = key.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        if parts[0] == "ca_net":  # ca_net.fc.weight
+            put_linear(("CANet_0", "Dense_0"), leaf, value)
+        elif parts[0] == "mapping_net":  # mapping_net.fc.N.weight
+            put_linear(("MappingNet_0", f"Dense_{parts[2]}"), leaf, value)
+        elif parts[0] == "h_net1":
+            if parts[1] == "fc":
+                if parts[2] == "0":
+                    put_linear(("InitStageG_0", "Dense_0"), leaf, value)
+                else:  # fc.1 BatchNorm1d
+                    put_bn(("InitStageG_0", "BatchNorm_0"), leaf, value)
+            elif parts[1].startswith("upsample"):
+                k = int(parts[1][len("upsample"):]) - 1
+                base = ("InitStageG_0", f"UpBlock_{k}")
+                if parts[2] == "1":
+                    put_conv(base + ("Conv3x3_0",), value)
+                else:
+                    put_bn(base + ("BatchNorm_0",), leaf, value)
+            else:
+                raise KeyError(f"unrecognized G key: {key}")
+        elif parts[0].startswith("img_net"):  # img_netI.img.0.weight
+            i = int(parts[0][len("img_net"):]) - 1
+            put_conv((f"GetImageG_{i}", "Conv3x3_0"), value)
+        elif parts[0].startswith("h_net"):  # h_net2 / h_net3
+            j = int(parts[0][len("h_net"):]) - 2
+            base = (f"NextStageG_{j}",)
+            if parts[1] == "att":  # att.conv_context: conv1x1 (idf,cdf,1,1)
+                _set(
+                    params,
+                    base + ("WordAttention_0", "Dense_0", "kernel"),
+                    np.transpose(value[:, :, 0, 0]),
+                )
+            elif parts[1] == "adain":  # adain.style linear
+                put_linear(base + ("AdaINNorm_0", "Dense_0"), leaf, value)
+            elif parts[1] == "residual":  # residual.R.block.{0,1,3,4}
+                r, idx = parts[2], parts[4]
+                rb = base + (f"ResBlock_{r}",)
+                if idx == "0":
+                    put_conv(rb + ("Conv3x3_0",), value)
+                elif idx == "1":
+                    put_bn(rb + ("BatchNorm_0",), leaf, value)
+                elif idx == "3":
+                    put_conv(rb + ("Conv3x3_1",), value)
+                elif idx == "4":
+                    put_bn(rb + ("BatchNorm_1",), leaf, value)
+                else:
+                    raise KeyError(f"unrecognized G key: {key}")
+            elif parts[1] == "upsample":
+                ub = base + ("UpBlock_0",)
+                if parts[2] == "1":
+                    put_conv(ub + ("Conv3x3_0",), value)
+                else:
+                    put_bn(ub + ("BatchNorm_0",), leaf, value)
+            else:
+                raise KeyError(f"unrecognized G key: {key}")
+        else:
+            raise KeyError(f"unrecognized G key: {key}")
+    return params, batch_stats
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a .pth state dict to numpy (requires torch at call time only)."""
     import torch

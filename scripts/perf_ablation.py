@@ -1,0 +1,77 @@
+"""One-off TPU ablation: where does the train-step time go, and does a
+larger per-chip batch help?  Informs bench.py's operating point."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sba_gan_tpu.config import cfg_from_dict
+from sba_gan_tpu.train import build_models, init_gan_state, make_gan_train_step
+
+
+def timed(step, state, args, n=10):
+    state, logs = step(state, *args)
+    jax.block_until_ready(state.g.params)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, logs = step(state, *args)
+    jax.block_until_ready(state.g.params)
+    return (time.perf_counter() - t0) / n
+
+
+def make_args(cfg, b):
+    rng = np.random.default_rng(0)
+    t = cfg.TEXT.WORDS_NUM
+    imgs = tuple(
+        jnp.asarray(rng.uniform(-1, 1, (b, 64 * 2 ** i, 64 * 2 ** i, 3)).astype(np.float32))
+        for i in range(cfg.TREE.BRANCH_NUM)
+    )
+    captions = np.zeros((b, t), np.int32)
+    cap_lens = rng.integers(4, t + 1, (b,)).astype(np.int32)
+    for i, l in enumerate(cap_lens):
+        captions[i, :l] = rng.integers(1, 5450, (l,))
+    class_ids = rng.integers(0, 200, (b,)).astype(np.int32)
+    return (imgs, jnp.asarray(captions), jnp.asarray(cap_lens),
+            jnp.asarray(class_ids), jax.random.PRNGKey(1))
+
+
+def run(name, b, lam, use_pallas=False):
+    cfg = cfg_from_dict(
+        {
+            "TREE": {"BRANCH_NUM": 3},
+            "GAN": {"GF_DIM": 32, "DF_DIM": 64, "Z_DIM": 100, "R_NUM": 2},
+            "TEXT": {"EMBEDDING_DIM": 256, "WORDS_NUM": 18},
+            "TRAIN": {"BATCH_SIZE": b,
+                      "SMOOTH": {"GAMMA1": 4.0, "GAMMA2": 5.0,
+                                 "GAMMA3": 10.0, "LAMBDA": lam}},
+            "JAX": {"DTYPE": "bfloat16", "USE_PALLAS": use_pallas},
+        }
+    )
+    models = build_models(cfg, 5450)
+    state = init_gan_state(cfg, models, jax.random.PRNGKey(0))
+    step = jax.jit(make_gan_train_step(cfg, models), donate_argnums=(0,))
+    dt = timed(step, state, make_args(cfg, b))
+    print(f"{name}: batch={b} {dt*1000:.1f} ms/step {b/dt:.0f} img/s", flush=True)
+
+
+if __name__ == "__main__":
+    import sys
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "batch"
+    if which == "batch":
+        run("full_b32", 32, 5.0)
+        run("full_b64", 64, 5.0)
+        run("full_b128", 128, 5.0)
+    elif which == "pallas":
+        run("xla_b128", 128, 5.0, use_pallas=False)
+        run("pallas_b128", 128, 5.0, use_pallas=True)
+        run("xla_b32", 32, 5.0, use_pallas=False)
+        run("pallas_b32", 32, 5.0, use_pallas=True)
+    elif which == "b256":
+        run("full_b256", 256, 5.0)
