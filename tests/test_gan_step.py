@@ -139,6 +139,22 @@ def test_sample_fn(setup, rng):
     assert len(att) == cfg.TREE.BRANCH_NUM - 1
 
 
+def test_dcgan_step(rng):
+    """B_DCGAN variant: one G trunk, one final-scale D with no
+    unconditional head (reference trainer.py:77-86)."""
+    cfg = tiny_cfg(**{"GAN.B_DCGAN": True, "TREE.BRANCH_NUM": 2})
+    models = build_models(cfg, N_WORDS)
+    assert len(models.discriminators) == 1
+    state = init_gan_state(cfg, models, jax.random.PRNGKey(0))
+    step = jax.jit(make_gan_train_step(cfg, models))
+    imgs, captions, cap_lens, class_ids = make_batch(cfg, rng, 8)
+    new_state, logs = step(state, imgs, captions, cap_lens, class_ids,
+                           jax.random.PRNGKey(6))
+    assert np.isfinite(float(logs["errG"]))
+    assert np.isfinite(float(logs["errD0"]))
+    assert "errD1" not in logs
+
+
 def test_style_mixing_step(rng):
     """G_NET_MIX path: z is (2, B, Z), stage-2/3 get different w codes
     (reference trainer_bert.py:226-232, model_bert.py:485-541)."""
