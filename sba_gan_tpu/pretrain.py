@@ -47,7 +47,8 @@ def build_dataset(cfg, synthetic: bool, split: str):
     return _bd(cfg, synthetic, split)
 
 
-def run_epoch(trainer, state, loader, rng, log_every=50):
+def run_epoch(trainer, state, loader, rng, log_every=50, image_dir=None,
+              ixtoword=None, epoch=0):
     t0 = time.time()
     count = 0
     for batch in loader:
@@ -63,7 +64,50 @@ def run_epoch(trainer, state, loader, rng, log_every=50):
                 f"{float(logs['w_loss1']):.2f} | s {float(logs['s_loss0']):.2f} "
                 f"{float(logs['s_loss1']):.2f} | {ms:.0f} ms/batch"
             )
+            if image_dir is not None:
+                dump_attention(trainer, state, batch, image_dir, ixtoword,
+                               f"{epoch}_{count}")
     return state
+
+
+def dump_attention(trainer, state, batch, image_dir, ixtoword, tag):
+    """Word->region attention grid every log interval (reference
+    pretrain_DAMSM.py:100-129 via build_super_images)."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from sba_gan_tpu.losses.damsm import words_loss
+    from sba_gan_tpu.utils.viz import build_super_images
+
+    region, _ = trainer.models.image_encoder.apply(
+        {"params": state.image_params,
+         "batch_stats": state.image_batch_stats},
+        jnp.asarray(batch.imgs[-1]), False,
+    )
+    words_emb, _ = trainer.models.text_encoder.apply(
+        {"params": state.text_params},
+        jnp.asarray(batch.captions), jnp.asarray(batch.cap_lens), train=False,
+    )
+    labels = jnp.arange(batch.captions.shape[0], dtype=jnp.int32)
+    *_, attn = words_loss(
+        region, words_emb, labels, jnp.asarray(batch.cap_lens),
+        jnp.asarray(batch.class_ids), return_attn=True,
+    )
+    # attn: (B, T, R) over own image; reshape regions to a square map
+    import numpy as _np
+
+    a = _np.asarray(attn)
+    r = int(_np.sqrt(a.shape[2]))
+    grid = build_super_images(
+        _np.asarray(batch.imgs[-1]),
+        _np.asarray(batch.captions),
+        ixtoword or {},
+        a[:, : a.shape[1], : r * r].transpose(0, 2, 1).reshape(
+            a.shape[0], r, r, a.shape[1]
+        ),
+    )
+    mkdir_p(image_dir)
+    Image.fromarray(grid).save(os.path.join(image_dir, f"attn_{tag}.png"))
 
 
 def evaluate(trainer, state, loader, max_batches=50):
@@ -129,7 +173,11 @@ def main():
         for epoch in range(start, max_epoch):
             state = trainer.reset_optimizer(state, epoch)
             t0 = time.time()
-            state = run_epoch(trainer, state, train_loader, rng)
+            state = run_epoch(
+                trainer, state, train_loader, rng,
+                image_dir=os.path.join(output_dir, "Image"),
+                ixtoword=getattr(train_ds, "ixtoword", None), epoch=epoch,
+            )
             val = evaluate(trainer, state, val_loader)
             print(
                 f"[{epoch}/{max_epoch}] val loss {val:.3f} "
