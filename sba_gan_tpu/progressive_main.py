@@ -1,0 +1,159 @@
+"""Progressive-growing training CLI (legacy gen-1 pipeline).
+
+Capability parity with the reference's first-generation trainer CLI
+(Old_Code/train.py:350-462): resolution schedule with alpha fade-in,
+``--loss wgan-gp|r1``, n_critic, style mixing, EMA, sample grids every
+`sample_every` steps, and full-state checkpoints.  Conditioning uses the
+sentence embedding of the framework's text encoder when
+``--conditional`` is set (the reference pipes BERT through TextProcess).
+
+Usage:
+    python -m sba_gan_tpu.progressive_main --synthetic --steps 200 \
+        --max_size 64 --batch 16 --loss wgan-gp
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sba_gan_tpu.data.pipeline import DataLoader
+from sba_gan_tpu.models.legacy_style import progressive_schedule
+from sba_gan_tpu.train.progressive import ProgressiveTrainer
+from sba_gan_tpu.utils.checkpoint import Checkpointer
+from sba_gan_tpu.utils.image import make_grid, mkdir_p
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Progressive StyleGAN trainer")
+    p.add_argument("--data_dir", default="")
+    p.add_argument("--output_dir", default="output/progressive")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--loss", choices=["wgan-gp", "r1"], default="wgan-gp")
+    p.add_argument("--init_size", type=int, default=8)
+    p.add_argument("--max_size", type=int, default=256)
+    p.add_argument("--phase", type=int, default=600_000,
+                   help="samples per resolution phase (train.py:373)")
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--n_critic", type=int, default=1)
+    p.add_argument("--mixing", type=float, default=0.9)
+    p.add_argument("--z_dim", type=int, default=128)
+    p.add_argument("--conditional", action="store_true")
+    p.add_argument("--embed_dim", type=int, default=256)
+    p.add_argument("--steps", type=int, default=100_000)
+    p.add_argument("--sample_every", type=int, default=1000)
+    p.add_argument("--ckpt_every", type=int, default=10_000)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def build_data(args):
+    if args.synthetic:
+        from sba_gan_tpu.data.cub import SyntheticDataset
+
+        return SyntheticDataset(
+            num_examples=max(4 * args.batch, 64), base_size=args.max_size,
+            branch_num=1, words_num=16, seed=args.seed,
+        )
+    from sba_gan_tpu.data.cub import TextImageDataset
+
+    return TextImageDataset(args.data_dir, split="train",
+                            base_size=args.max_size, branch_num=1)
+
+
+def main():
+    args = parse_args()
+    mkdir_p(args.output_dir)
+    trainer = ProgressiveTrainer(
+        z_dim=args.z_dim, max_resolution=args.max_size,
+        loss_mode=args.loss, lr=args.lr, n_critic=args.n_critic,
+        mixing_prob=args.mixing,
+        embed_dim=args.embed_dim if args.conditional else None,
+    )
+    rng = jax.random.PRNGKey(args.seed)
+    state = trainer.init_state(rng, batch=2)
+    ckpt = Checkpointer(os.path.join(args.output_dir, "Model"))
+    if ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"resumed at step {int(state.step)}")
+
+    text_encoder = text_vars = None
+    if args.conditional:
+        from sba_gan_tpu.train.gan import build_text_encoder
+        from sba_gan_tpu.config import cfg_from_dict
+
+        cfg = cfg_from_dict({"TEXT": {"EMBEDDING_DIM": args.embed_dim}})
+        ds_tmp = build_data(args)
+        n_words = getattr(ds_tmp, "n_words", len(ds_tmp.ixtoword))
+        text_encoder = build_text_encoder(cfg, n_words)
+        text_vars = text_encoder.init(
+            {"params": rng, "dropout": rng},
+            jnp.ones((2, 16), jnp.int32), jnp.full((2,), 16, jnp.int32),
+            train=False,
+        )
+
+    dataset = build_data(args)
+    loader = DataLoader(dataset, args.batch, shuffle=True, drop_last=True,
+                        seed=args.seed, num_workers=0)
+    data_iter = iter(loader)
+
+    gstep = int(state.step)
+    t0 = time.time()
+    n_blocks = trainer.generator.n_blocks()
+    while gstep < args.steps:
+        try:
+            batch = next(data_iter)
+        except StopIteration:
+            data_iter = iter(loader)
+            batch = next(data_iter)
+        res, alpha = progressive_schedule(
+            gstep, args.phase, args.batch, args.init_size, args.max_size
+        )
+        res_step = min(int(np.log2(res // 4)), n_blocks - 1)
+        real = jnp.asarray(batch.imgs[-1])
+        if real.shape[1] != res:
+            real = jax.image.resize(
+                real, (real.shape[0], res, res, 3), "bilinear"
+            )
+        sent = None
+        if text_encoder is not None:
+            _, sent = text_encoder.apply(
+                text_vars, jnp.asarray(batch.captions),
+                jnp.asarray(batch.cap_lens), train=False,
+            )
+        d_step, g_step = trainer.steps_for(res_step)
+        state, d_loss = d_step(state, real, sent, jnp.float32(alpha), rng)
+        gstep = int(state.step)
+        if gstep % args.n_critic == 0:
+            state, g_loss = g_step(state, sent, jnp.float32(alpha), rng, real)
+        if gstep % 100 == 0:
+            print(
+                f"step {gstep} res {res} alpha {alpha:.2f} "
+                f"d {float(d_loss):.3f} g {float(g_loss):.3f} "
+                f"({(time.time() - t0):.0f}s)", flush=True,
+            )
+        if gstep % args.sample_every == 0:
+            imgs = trainer.sample(state, jax.random.PRNGKey(gstep), 8,
+                                  res_step, sent_emb=(sent[:8] if sent is not None else None),
+                                  alpha=alpha)
+            from PIL import Image
+
+            grid = make_grid(list(np.asarray(imgs)), nrow=4)
+            mkdir_p(os.path.join(args.output_dir, "Image"))
+            Image.fromarray(grid).save(
+                os.path.join(args.output_dir, "Image", f"sample_{gstep}.png")
+            )
+        if gstep % args.ckpt_every == 0:
+            ckpt.save(gstep, state)
+    ckpt.save(gstep, state, wait=True)
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
