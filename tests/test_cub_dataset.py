@@ -76,6 +76,41 @@ def test_native_matches_pil_eval_mode(mini_cub):
         assert np.mean(np.abs(x - y)) < 0.08  # resampler-convention delta
 
 
+@pytest.fixture(scope="module")
+def mini_coco(tmp_path_factory):
+    """COCO-style layout: flat images/ dir, no bounding boxes
+    (reference cfg/coco_attn2.yml path handling, datasets.py:88,113)."""
+    root = tmp_path_factory.mktemp("coco")
+    os.makedirs(root / "images")
+    os.makedirs(root / "text")
+    os.makedirs(root / "train")
+    os.makedirs(root / "test")
+    rng = np.random.default_rng(1)
+    names = []
+    for i in range(3):
+        key = f"COCO_train2014_{i:012d}"
+        names.append(key)
+        arr = rng.integers(0, 255, (64, 80, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(str(root / "images" / (key + ".jpg")))
+        with open(root / "text" / (key + ".txt"), "w") as f:
+            for j in range(5):
+                f.write(f"object {i} scene {j}\n")
+    with open(root / "train" / "filenames.pickle", "wb") as f:
+        pickle.dump(names, f)
+    with open(root / "test" / "filenames.pickle", "wb") as f:
+        pickle.dump([], f)
+    return str(root)
+
+
+def test_coco_layout_no_bbox(mini_coco):
+    ds = TextImageDataset(mini_coco, split="train", base_size=32,
+                          branch_num=2, words_num=6, captions_per_image=5)
+    assert ds.bbox is None
+    imgs, caps, cap_len, cls, key = ds[0]
+    assert imgs[1].shape == (64, 64, 3)
+    assert key.startswith("COCO_")
+
+
 @pytest.mark.skipif(not NativeImageLoader.available(),
                     reason="native loader missing")
 def test_native_train_mode_shapes(mini_cub):
