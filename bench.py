@@ -38,10 +38,12 @@ def main():
             "GAN": {"GF_DIM": 32, "DF_DIM": 64, "Z_DIM": 100, "R_NUM": 2},
             "TEXT": {"EMBEDDING_DIM": 256, "WORDS_NUM": 18},
             "TRAIN": {
-                # per-chip batch 128 keeps the MXU fed (measured: 32 -> 7.3k
-                # img/s, 128 -> 32.5k img/s on one chip); data parallelism
-                # scales the global batch across the mesh.
-                "BATCH_SIZE": 128 if platform == "tpu" else 4,
+                # per-chip batch 32: measured 4.0 ms/step (~7.9k img/s,
+                # value-fence validated).  Larger per-chip batches exhaust
+                # HBM without buffer donation (b64 thrashes, b128 OOMs), and
+                # donation is rejected by the axon tunnel; scale via the
+                # data mesh instead.
+                "BATCH_SIZE": 32 if platform == "tpu" else 4,
                 "SMOOTH": {"GAMMA1": 4.0, "GAMMA2": 5.0, "GAMMA3": 10.0,
                            "LAMBDA": 5.0},
             },
@@ -65,7 +67,9 @@ def main():
     n_words = 5450
     models = build_models(cfg, n_words)
     state = init_gan_state(cfg, models, jax.random.PRNGKey(0))
-    step = jax.jit(make_gan_train_step(cfg, models), donate_argnums=(0,))
+    # no donation: the axon TPU tunnel fails donated programs with an async
+    # InvalidArgument that only surfaces on host fetch (see train/loop.py)
+    step = jax.jit(make_gan_train_step(cfg, models))
 
     rng = np.random.default_rng(0)
     imgs = tuple(
@@ -94,6 +98,11 @@ def main():
         state, logs = step(state, imgs, captions, cap_lens, class_ids, key)
     jax.block_until_ready(state.g.params)
     dt = time.perf_counter() - t0
+
+    # correctness fence: materialize the losses on the host — an async
+    # backend failure poisons values and must fail the bench, not fake it
+    final = {k: float(v) for k, v in logs.items()}
+    assert all(np.isfinite(v) for v in final.values()), final
 
     ips = b * measure / dt
     print(

@@ -123,13 +123,17 @@ def default_config() -> ConfigDict:
                 # (cross-replica) batch — automatic under jit over a sharded
                 # batch.  Recorded here for documentation/tests.
                 "SYNC_BATCHNORM": True,
-                # Opt-in fused Pallas word-attention.  Measured on one TPU
-                # chip at bird_style dims (bf16, D=32, T=18, full train
-                # step): XLA-fused 25.4k img/s vs Pallas 20.6k at batch 128
-                # (6.8k vs 5.2k at batch 32) — the word table is too small
-                # for MXU tiling to win, so XLA stays the default; the
-                # kernel remains available for larger D/T regimes.
+                # Opt-in fused Pallas word-attention.  XLA's fused path is
+                # the default: the word table (D=32, T=18 at bird_style
+                # dims) is too small for MXU tiling to win; the kernel
+                # remains available for larger D/T regimes (see
+                # scripts/perf_ablation.py for the measurement harness).
                 "USE_PALLAS": False,
+                # Rematerialize the frozen Inception forward in the G
+                # backward (jax.checkpoint): trades ~15% step time at
+                # per-chip batch 32 for large-batch HBM headroom (measured:
+                # batch 128 OOMs without it).
+                "REMAT_IMAGE_ENCODER": False,
                 "LOSS_DTYPE": "float32",
             },
             "BENCH": {

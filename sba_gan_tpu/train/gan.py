@@ -184,6 +184,7 @@ def make_gan_train_step(cfg, models: GANModels):
     gamma2 = cfg.TRAIN.SMOOTH.GAMMA2
     gamma3 = cfg.TRAIN.SMOOTH.GAMMA3
     smooth_lambda = cfg.TRAIN.SMOOTH.LAMBDA
+    remat_image_encoder = cfg.JAX.REMAT_IMAGE_ENCODER
     g_tx = make_gan_adam(cfg.TRAIN.GENERATOR_LR)
     d_tx = make_gan_adam(cfg.TRAIN.DISCRIMINATOR_LR)
     generator = models.generator
@@ -298,8 +299,16 @@ def make_gan_train_step(cfg, models: GANModels):
                 glogs[f"g_loss{i}"] = gl
                 total = total + gl
 
-            # DAMSM terms on the final scale (losses.py:185-200)
-            region, code = image_encoder.apply(state.image, fakes[-1], False)
+            # DAMSM terms on the final scale (losses.py:185-200).  With
+            # REMAT_IMAGE_ENCODER the frozen Inception forward is
+            # rematerialized in the backward pass — its 299^2 activation
+            # chain dominates peak HBM and recompute beats spilling when
+            # the per-chip batch grows (donation is unavailable on this
+            # runtime — see loop.py).
+            encode = lambda img: image_encoder.apply(state.image, img, False)
+            if remat_image_encoder:
+                encode = jax.checkpoint(encode)
+            region, code = encode(fakes[-1])
             w0, w1 = words_loss(
                 region, words_embs, match_labels, cap_lens, class_ids,
                 gamma1=gamma1, gamma2=gamma2, gamma3=gamma3,

@@ -84,13 +84,12 @@ class GANTrainer:
             image_variables=image_variables,
         )
         self.state = jax.device_put(self.state, self.replicated)
-        # Donating the state buffers halves peak HBM, but the CPU backend's
-        # in-process communicator deadlocks on donated buffers feeding
-        # collectives (XLA CPU bug) — donate on real accelerators only.
-        donate = (0,) if jax.devices()[0].platform != "cpu" else ()
-        self.step_fn = jax.jit(
-            make_gan_train_step(cfg, self.models), donate_argnums=donate
-        )
+        # No buffer donation: the XLA CPU in-process communicator deadlocks
+        # on donated buffers feeding collectives, and the axon TPU tunnel
+        # fails donated programs with an async InvalidArgument (verified by
+        # per-variant isolation).  Peak-HBM headroom is ample at these model
+        # sizes; revisit donation on direct (non-tunneled) TPU runtimes.
+        self.step_fn = jax.jit(make_gan_train_step(cfg, self.models))
         _sample = make_sample_fn(cfg, self.models)
         self.sample_fn = jax.jit(_sample)
         self.sample_noise_fn = jax.jit(_sample.with_noise)

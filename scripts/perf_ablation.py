@@ -22,7 +22,11 @@ def timed(step, state, args, n=10):
     for _ in range(n):
         state, logs = step(state, *args)
     jax.block_until_ready(state.g.params)
-    return (time.perf_counter() - t0) / n
+    dt = (time.perf_counter() - t0) / n
+    # correctness fence: fetch values so async backend failures surface
+    vals = {k: float(v) for k, v in logs.items()}
+    assert all(np.isfinite(v) for v in vals.values()), vals
+    return dt
 
 
 def make_args(cfg, b):
@@ -55,7 +59,7 @@ def run(name, b, lam, use_pallas=False):
     )
     models = build_models(cfg, 5450)
     state = init_gan_state(cfg, models, jax.random.PRNGKey(0))
-    step = jax.jit(make_gan_train_step(cfg, models), donate_argnums=(0,))
+    step = jax.jit(make_gan_train_step(cfg, models))  # no donation (axon)
     dt = timed(step, state, make_args(cfg, b))
     print(f"{name}: batch={b} {dt*1000:.1f} ms/step {b/dt:.0f} img/s", flush=True)
 
