@@ -68,6 +68,10 @@ def default_config() -> ConfigDict:
                 "GENERATOR_LR": 2e-4,
                 "ENCODER_LR": 2e-4,
                 "RNN_GRAD_CLIP": 0.25,
+                # micro-batch accumulation: optimizers apply every k steps,
+                # preserving the reference's small effective batch on big
+                # data-parallel meshes (no reference analogue).
+                "GRAD_ACCUM": 1,
                 "FLAG": True,
                 "NET_E": "",
                 "NET_G": "",

@@ -132,6 +132,19 @@ def main():
         )
 
     if cfg.TRAIN.FLAG:
+        # frozen-batch fixture dump (reference main.py:135 np.save testcase):
+        # one real batch for notebook-style debugging / regression checks
+        from sba_gan_tpu.data.pipeline import DataLoader as _DL
+
+        first = next(iter(_DL(dataset, min(cfg.TRAIN.BATCH_SIZE, len(dataset)),
+                              shuffle=False, drop_last=True, num_workers=0)))
+        np.save(
+            os.path.join(output_dir, "testcase.npy"),
+            {"imgs": [np.asarray(i) for i in first.imgs],
+             "captions": first.captions, "cap_lens": first.cap_lens,
+             "class_ids": first.class_ids, "keys": list(first.keys)},
+            allow_pickle=True,
+        )
         trainer.resume()
         trainer.train(max_epoch=args.max_epoch)
     elif cfg.B_VALIDATION:

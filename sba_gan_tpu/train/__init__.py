@@ -12,6 +12,7 @@ from sba_gan_tpu.train.state import (
     GANTrainState,
     NetState,
     ema_update,
+    gan_optimizers,
     make_damsm_optimizer,
     make_gan_adam,
 )
@@ -29,5 +30,6 @@ __all__ = [
     "NetState",
     "ema_update",
     "make_damsm_optimizer",
+    "gan_optimizers",
     "make_gan_adam",
 ]

@@ -45,7 +45,7 @@ from sba_gan_tpu.train.state import (
     GANTrainState,
     NetState,
     ema_update,
-    make_gan_adam,
+    gan_optimizers,
 )
 
 
@@ -133,8 +133,7 @@ def init_gan_state(
     mask = jnp.zeros((b, t), bool)
     g_vars = models.generator.init(r_g, z, sent, words, mask, r_ca, True)
 
-    g_tx = make_gan_adam(cfg.TRAIN.GENERATOR_LR)
-    d_tx = make_gan_adam(cfg.TRAIN.DISCRIMINATOR_LR)
+    g_tx, d_tx = gan_optimizers(cfg)
 
     g_state = NetState(
         params=g_vars["params"],
@@ -185,8 +184,7 @@ def make_gan_train_step(cfg, models: GANModels):
     gamma3 = cfg.TRAIN.SMOOTH.GAMMA3
     smooth_lambda = cfg.TRAIN.SMOOTH.LAMBDA
     remat_image_encoder = cfg.JAX.REMAT_IMAGE_ENCODER
-    g_tx = make_gan_adam(cfg.TRAIN.GENERATOR_LR)
-    d_tx = make_gan_adam(cfg.TRAIN.DISCRIMINATOR_LR)
+    g_tx, d_tx = gan_optimizers(cfg)
     generator = models.generator
     text_encoder = models.text_encoder
     image_encoder = models.image_encoder

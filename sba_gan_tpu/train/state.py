@@ -49,10 +49,26 @@ class DAMSMTrainState(struct.PyTreeNode):
     opt_state: Any
 
 
-def make_gan_adam(lr: float) -> optax.GradientTransformation:
+def make_gan_adam(lr: float, grad_accum: int = 1):
     """Adam with the reference GAN hyperparameters (trainer.py:132-145):
-    lr 2e-4, betas (0.5, 0.999)."""
-    return optax.adam(lr, b1=0.5, b2=0.999, eps=1e-8)
+    lr 2e-4, betas (0.5, 0.999).  grad_accum > 1 wraps the optimizer in
+    optax.MultiSteps — micro-batches accumulate and the update applies every
+    `grad_accum` steps, keeping the reference's small effective batch when
+    data parallelism multiplies the global batch (SURVEY.md hard-part #6)."""
+    tx = optax.adam(lr, b1=0.5, b2=0.999, eps=1e-8)
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+    return tx
+
+
+def gan_optimizers(cfg):
+    """The (g_tx, d_tx) pair; used by both state init and the train step so
+    optimizer-state pytrees always match."""
+    accum = cfg.TRAIN.GRAD_ACCUM
+    return (
+        make_gan_adam(cfg.TRAIN.GENERATOR_LR, accum),
+        make_gan_adam(cfg.TRAIN.DISCRIMINATOR_LR, accum),
+    )
 
 
 def make_damsm_optimizer(

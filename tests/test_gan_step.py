@@ -139,6 +139,28 @@ def test_sample_fn(setup, rng):
     assert len(att) == cfg.TREE.BRANCH_NUM - 1
 
 
+def test_grad_accumulation(rng):
+    """GRAD_ACCUM=2: optimizers apply every 2 micro-steps (optax.MultiSteps)
+    — params frozen after step 1, moved after step 2."""
+    cfg = tiny_cfg(**{"TRAIN.GRAD_ACCUM": 2, "TREE.BRANCH_NUM": 1})
+    models = build_models(cfg, N_WORDS)
+    state = init_gan_state(cfg, models, jax.random.PRNGKey(0))
+    step = jax.jit(make_gan_train_step(cfg, models))
+    imgs, captions, cap_lens, class_ids = make_batch(cfg, rng, 8)
+    s1, _ = step(state, imgs, captions, cap_lens, class_ids, jax.random.PRNGKey(7))
+    unchanged = all(
+        np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(state.g.params), jax.tree.leaves(s1.g.params))
+    )
+    assert unchanged, "params must not move on the first micro-step"
+    s2, _ = step(s1, imgs, captions, cap_lens, class_ids, jax.random.PRNGKey(7))
+    moved = any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(s1.g.params), jax.tree.leaves(s2.g.params))
+    )
+    assert moved, "params must move once the accumulation window closes"
+
+
 def test_dcgan_step(rng):
     """B_DCGAN variant: one G trunk, one final-scale D with no
     unconditional head (reference trainer.py:77-86)."""
