@@ -121,7 +121,8 @@ class DataLoader:
 
 
 def data_sharding(mesh: jax.sharding.Mesh) -> jax.sharding.NamedSharding:
-    """Batch-dim sharding over the `data` mesh axis."""
-    return jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec("data")
-    )
+    """Batch-dim sharding over the `data` mesh axis (alias of
+    sba_gan_tpu.parallel.batch_sharding — one definition)."""
+    from sba_gan_tpu.parallel.mesh import batch_sharding
+
+    return batch_sharding(mesh)

@@ -68,21 +68,8 @@ def fid(
     batch_size: int = 32,
 ) -> float:
     """FID between two iterables of (H, W, 3) images in [-1, 1]."""
+    from sba_gan_tpu.evaluation.inception_score import batched_apply
 
-    def collect(images):
-        acts, batch = [], []
-        for img in images:
-            batch.append(np.asarray(img, np.float32))
-            if len(batch) == batch_size:
-                acts.append(np.asarray(activation_fn(np.stack(batch))))
-                batch = []
-        if batch:
-            tail = len(batch)
-            while len(batch) < batch_size:
-                batch.append(batch[-1])
-            acts.append(np.asarray(activation_fn(np.stack(batch)))[:tail])
-        return np.concatenate(acts, axis=0)
-
-    mu1, c1 = activation_stats(collect(images1))
-    mu2, c2 = activation_stats(collect(images2))
+    mu1, c1 = activation_stats(batched_apply(images1, activation_fn, batch_size))
+    mu2, c2 = activation_stats(batched_apply(images2, activation_fn, batch_size))
     return frechet_distance(mu1, c1, mu2, c2)

@@ -74,6 +74,27 @@ def inception_score_from_probs(
     return float(np.mean(scores)), float(np.std(scores))
 
 
+def batched_apply(
+    images: Iterable[np.ndarray], fn: Callable, batch_size: int
+) -> np.ndarray:
+    """Apply a jitted per-batch fn over an image iterable at a static batch
+    shape; the ragged tail is padded by repeating the last image and sliced
+    back off (shared by the IS and FID evaluators)."""
+    outs = []
+    batch = []
+    for img in images:
+        batch.append(np.asarray(img, np.float32))
+        if len(batch) == batch_size:
+            outs.append(np.asarray(fn(np.stack(batch))))
+            batch = []
+    if batch:
+        tail = len(batch)
+        while len(batch) < batch_size:
+            batch.append(batch[-1])
+        outs.append(np.asarray(fn(np.stack(batch)))[:tail])
+    return np.concatenate(outs, axis=0)
+
+
 def inception_score(
     images: Iterable[np.ndarray],
     predict_fn: Callable,
@@ -81,20 +102,7 @@ def inception_score(
     splits: int = 10,
 ) -> Tuple[float, float]:
     """IS over an iterable of (H, W, 3) images in [-1, 1]."""
-    probs = []
-    batch = []
-    for img in images:
-        batch.append(np.asarray(img, np.float32))
-        if len(batch) == batch_size:
-            probs.append(np.asarray(predict_fn(np.stack(batch))))
-            batch = []
-    if batch:
-        # pad the tail to the static batch shape, then drop the padding
-        tail = len(batch)
-        while len(batch) < batch_size:
-            batch.append(batch[-1])
-        probs.append(np.asarray(predict_fn(np.stack(batch)))[:tail])
-    probs = np.concatenate(probs, axis=0)
+    probs = batched_apply(images, predict_fn, batch_size)
     return inception_score_from_probs(probs, splits)
 
 

@@ -169,6 +169,7 @@ def main():
     rng = jax.random.PRNGKey(cfg.JAX.SEED + 7)
     max_epoch = args.max_epoch or cfg.TRAIN.MAX_EPOCH
     start = int(ckpt.latest_step() + 1) if ckpt.latest_step() is not None else 0
+    epoch = start
     try:
         for epoch in range(start, max_epoch):
             state = trainer.reset_optimizer(state, epoch)
@@ -185,8 +186,9 @@ def main():
             )
             ckpt.save(epoch, state)
     except KeyboardInterrupt:
+        # save under the epoch actually reached so resume continues from it
         print("Ctrl-C: saving and exiting (reference pretrain_DAMSM.py:293-295)")
-    ckpt.save(max_epoch - 1 if max_epoch > start else start, state, wait=True)
+    ckpt.save(epoch, state, wait=True)
 
 
 if __name__ == "__main__":

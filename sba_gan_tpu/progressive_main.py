@@ -105,6 +105,7 @@ def main():
 
     gstep = int(state.step)
     t0 = time.time()
+    g_loss = float("nan")  # no G update yet (n_critic schedule)
     n_blocks = trainer.generator.n_blocks()
     while gstep < args.steps:
         try:

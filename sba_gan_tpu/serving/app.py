@@ -55,8 +55,10 @@ class LocalDiskStore(BlobStore):
         return f"{self.url_prefix}/{name}"
 
     def get(self, name: str) -> Optional[bytes]:
-        path = os.path.join(self.root, name)
-        if not os.path.isfile(path):
+        # confine to the blob root: reject traversal ("../", absolute paths)
+        root = os.path.realpath(self.root)
+        path = os.path.realpath(os.path.join(root, name))
+        if not (path.startswith(root + os.sep) and os.path.isfile(path)):
             return None
         with open(path, "rb") as f:
             return f.read()

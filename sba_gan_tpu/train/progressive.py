@@ -139,7 +139,9 @@ class ProgressiveTrainer:
 
         @functools.partial(jax.jit, static_argnames=())
         def d_step(state: ProgressiveState, real, sent_emb, alpha, rng):
-            rng = jax.random.fold_in(rng, state.step)
+            # even stream: d_step folds 2*step, g_step folds 2*step+1 so the
+            # two updates never draw the same z/noise from one base key
+            rng = jax.random.fold_in(rng, state.step * 2)
             r_z, r_noise, r_gp = jax.random.split(rng, 3)
             z = sample_z(r_z, real.shape[0])
             fake = gen.apply(
@@ -171,7 +173,7 @@ class ProgressiveTrainer:
 
         @functools.partial(jax.jit, static_argnames=())
         def g_step(state: ProgressiveState, sent_emb, alpha, rng, batch_hint):
-            rng = jax.random.fold_in(rng, state.step)
+            rng = jax.random.fold_in(rng, state.step * 2 + 1)
             r_z, r_noise = jax.random.split(rng)
             b = batch_hint.shape[0]
             z = sample_z(r_z, b)

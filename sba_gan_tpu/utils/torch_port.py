@@ -59,6 +59,10 @@ def port_cnn_encoder(
         parts = key.split(".")
         if parts[-1] == "num_batches_tracked":
             continue
+        if parts[0] == "AuxLogits":
+            # torchvision pretrained inception_v3 ships the aux classifier;
+            # neither the DAMSM encoder nor the IS head uses it
+            continue
         if parts[0] == "emb_features":
             # reference conv1x1 (model.py:205): conv OIHW, no bias
             if parts[-1] == "weight":
