@@ -35,15 +35,16 @@ def init_distributed(
     environment; arguments are for CPU/GPU test rigs.  After this,
     ``jax.devices()`` spans the slice and the same ``make_mesh`` + jit path
     scales over ICI (intra-slice) and DCN (multi-slice) unchanged."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    # NOTE: must run before anything touches a backend — even
+    # jax.process_count() would initialize the runtime and make
+    # jax.distributed.initialize fail.
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except Exception as e:  # single-process dev rig
+    except Exception as e:  # single-process dev rig / already initialized
         import logging
 
         logging.getLogger(__name__).info("distributed init skipped: %s", e)

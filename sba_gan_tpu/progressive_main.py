@@ -49,6 +49,11 @@ def parse_args():
     p.add_argument("--steps", type=int, default=100_000)
     p.add_argument("--sample_every", type=int, default=1000)
     p.add_argument("--ckpt_every", type=int, default=10_000)
+    # in-loop Inception Score (gen-1 ran IS every 1000 steps,
+    # Old_Code/train.py:309-330); 0 disables.  Random-init classifier
+    # unless --inception_weights points at a torchvision .pth.
+    p.add_argument("--eval_is_every", type=int, default=0)
+    p.add_argument("--inception_weights", default=None)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -97,6 +102,29 @@ def main():
             jnp.ones((2, 16), jnp.int32), jnp.full((2,), 16, jnp.int32),
             train=False,
         )
+
+    is_predict = None
+    if args.eval_is_every:
+        from sba_gan_tpu.evaluation.inception_score import (
+            InceptionV3Classifier,
+            make_predict_fn,
+        )
+
+        clf = InceptionV3Classifier()
+        variables = clf.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)), False
+        )
+        if args.inception_weights:
+            from sba_gan_tpu.utils.torch_port import (
+                load_torch_state_dict,
+                port_cnn_encoder,
+            )
+
+            params, stats = port_cnn_encoder(
+                load_torch_state_dict(args.inception_weights)
+            )
+            variables = {"params": params, "batch_stats": stats}
+        is_predict = make_predict_fn(clf, variables)
 
     dataset = build_data(args)
     loader = DataLoader(dataset, args.batch, shuffle=True, drop_last=True,
@@ -150,6 +178,24 @@ def main():
             Image.fromarray(grid).save(
                 os.path.join(args.output_dir, "Image", f"sample_{gstep}.png")
             )
+        if is_predict is not None and gstep % args.eval_is_every == 0:
+            from sba_gan_tpu.evaluation.inception_score import inception_score
+
+            nb = min(16, args.batch)
+            samples = [
+                np.asarray(
+                    trainer.sample(state, jax.random.PRNGKey(gstep + i), nb,
+                                   res_step,
+                                   sent_emb=(sent[:nb] if sent is not None else None),
+                                   alpha=alpha)
+                )
+                for i in range(4)
+            ]
+            imgs = [im for batch_ in samples for im in batch_]
+            mean, std = inception_score(imgs, is_predict, batch_size=16,
+                                        splits=4)
+            print(f"step {gstep} inception score {mean:.3f} +- {std:.3f}",
+                  flush=True)
         if gstep % args.ckpt_every == 0:
             ckpt.save(gstep, state)
     ckpt.save(gstep, state, wait=True)
