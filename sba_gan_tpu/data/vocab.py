@@ -154,17 +154,7 @@ def bert_vocab_encode(sentences, words_num: int):
     """BERT wordpiece encoding (reference datasets_bert.py:199-224), gated on
     a locally cached tokenizer.  Raises RuntimeError when the tokenizer is
     unavailable offline."""
-    try:
-        from transformers import BertTokenizerFast
-
-        tok = BertTokenizerFast.from_pretrained(
-            "bert-base-uncased", local_files_only=True
-        )
-    except Exception as e:  # no cached vocab, zero egress
-        raise RuntimeError(
-            "bert-base-uncased tokenizer is not available locally; "
-            "provide a cached tokenizer or use the word-id vocabulary"
-        ) from e
+    tok = get_bert_tokenizer()
     ids, lens = [], []
     for sent in sentences:
         enc = tok(sent, truncation=True, max_length=words_num)["input_ids"]

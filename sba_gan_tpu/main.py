@@ -69,9 +69,12 @@ def build_dataset(cfg, synthetic: bool, split: str):
 
 def load_example_captions(cfg, wordtoix):
     """Reference gen_example ingest (main.py:34-83): read
-    example_filenames.txt, tokenize each file's sentences to id arrays."""
-    from sba_gan_tpu.data.vocab import encode_free_text
+    example_filenames.txt, tokenize each file's sentences to id arrays.
+    BERT-vocab models use the wordpiece tokenizer instead of the regex
+    vocab lookup (reference trainer_bert.py gen_example path)."""
+    from sba_gan_tpu.data.vocab import bert_vocab_encode, encode_free_text
 
+    use_bert = cfg.MODEL.TEXT_ENCODER == "bert"
     data_dic = {}
     fname = os.path.join(cfg.DATA_DIR, "example_filenames.txt")
     with open(fname, "r") as f:
@@ -80,9 +83,12 @@ def load_example_captions(cfg, wordtoix):
         filepath = os.path.join(cfg.DATA_DIR, name + ".txt")
         with open(filepath, "r") as f:
             sentences = [s for s in f.read().split("\n") if s.strip()]
-        ids, lens = encode_free_text(
-            sentences, wordtoix, cfg.TEXT.WORDS_NUM
-        )
+        if use_bert:
+            ids, lens = bert_vocab_encode(sentences, cfg.TEXT.WORDS_NUM)
+        else:
+            ids, lens = encode_free_text(
+                sentences, wordtoix, cfg.TEXT.WORDS_NUM
+            )
         key = name[name.rfind("/") + 1:]
         data_dic[key] = (ids, lens, None)
     return data_dic

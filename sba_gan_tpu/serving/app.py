@@ -76,15 +76,23 @@ def _png_bytes(img: np.ndarray) -> bytes:
 
 class GanService:
     """caption -> urls of generated stages + attention maps
-    (reference generate(), eval/eval.py:48-157)."""
+    (reference generate(), eval/eval.py:48-157).
+
+    ``telemetry`` is an optional callable(event_dict) — the stand-in for the
+    reference's Azure App Insights client (eval/main.py:12-14,67-71,92);
+    the default emits one JSON line per request to stdout."""
 
     def __init__(self, sampler: Callable, wordtoix: Dict[str, int],
-                 ixtoword: Dict[int, str], words_num: int, store: BlobStore):
+                 ixtoword: Dict[int, str], words_num: int, store: BlobStore,
+                 telemetry: Optional[Callable] = None):
         self.sampler = sampler  # (captions, cap_lens, seed) -> (fakes, atts)
         self.wordtoix = wordtoix
         self.ixtoword = ixtoword
         self.words_num = words_num
         self.store = store
+        self.telemetry = telemetry if telemetry is not None else (
+            lambda event: print(json.dumps({"telemetry": event}), flush=True)
+        )
 
     def generate(self, caption: str, copies: int = 1, seed: int = 0) -> Dict:
         from sba_gan_tpu.data.vocab import encode_free_text
@@ -118,8 +126,11 @@ class GanService:
                                      _png_bytes(grid / 127.5 - 1.0))
                 entry[f"map{a + 1}"] = url
             urls.append(entry)
-        return {"caption": caption, "results": urls,
-                "elapsed": round(time.time() - t0, 3)}
+        elapsed = round(time.time() - t0, 3)
+        self.telemetry(
+            {"event": "generate", "copies": copies, "elapsed": elapsed}
+        )
+        return {"caption": caption, "results": urls, "elapsed": elapsed}
 
 
 def make_wsgi_app(service: GanService):

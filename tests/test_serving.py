@@ -81,6 +81,26 @@ def test_birds_route_and_image_fetch(client):
     assert img[:8] == b"\x89PNG\r\n\x1a\n"
 
 
+def test_telemetry_event(tmp_path):
+    """One telemetry event per generate call (reference App Insights
+    behavior, eval/main.py:67-71)."""
+    events = []
+    wordtoix = {"w1": 1}
+    svc = GanService(fake_sampler, wordtoix, {1: "w1"}, 6,
+                     LocalDiskStore(str(tmp_path)), telemetry=events.append)
+    svc.generate("w1", copies=2)
+    assert len(events) == 1
+    assert events[0]["event"] == "generate"
+    assert events[0]["copies"] == 2
+    assert "elapsed" in events[0]
+
+
+def test_path_traversal_blocked(client, tmp_path):
+    status, _, body = client("GET", "/images/../../etc/passwd")
+    assert status == "404 Not Found"
+    assert b"root" not in body
+
+
 def test_bad_request(client):
     status, _, body = client("POST", "/api/v1.0/bird", {"nope": 1})
     assert status == "400 Bad Request"
