@@ -38,16 +38,20 @@ def main():
             "GAN": {"GF_DIM": 32, "DF_DIM": 64, "Z_DIM": 100, "R_NUM": 2},
             "TEXT": {"EMBEDDING_DIM": 256, "WORDS_NUM": 18},
             "TRAIN": {
-                # per-chip batch 32: measured 4.0 ms/step (~7.9k img/s,
-                # value-fence validated).  Larger per-chip batches exhaust
-                # HBM without buffer donation (b64 thrashes, b128 OOMs), and
-                # donation is rejected by the axon tunnel; scale via the
-                # data mesh instead.
-                "BATCH_SIZE": 32 if platform == "tpu" else 4,
+                # per-chip batch 64 with REMAT_IMAGE_ENCODER + 4-way DAMSM
+                # chunking: 5.0 ms/step (~12.8k img/s, value-fenced).  The
+                # memory lever matters because buffer donation is rejected
+                # by this runtime; without it batch 64 HBM-thrashes at
+                # 184 ms/step (see scripts/perf_ablation.py).
+                "BATCH_SIZE": 64 if platform == "tpu" else 4,
                 "SMOOTH": {"GAMMA1": 4.0, "GAMMA2": 5.0, "GAMMA3": 10.0,
                            "LAMBDA": 5.0},
             },
-            "JAX": {"DTYPE": "bfloat16" if platform == "tpu" else "float32"},
+            "JAX": {
+                "DTYPE": "bfloat16" if platform == "tpu" else "float32",
+                "REMAT_IMAGE_ENCODER": platform == "tpu",
+                "DAMSM_CHUNKS": 4 if platform == "tpu" else 1,
+            },
         }
     )
     if platform != "tpu":

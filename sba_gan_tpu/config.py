@@ -138,6 +138,11 @@ def default_config() -> ConfigDict:
                 # per-chip batch 32 for large-batch HBM headroom (measured:
                 # batch 128 OOMs without it).
                 "REMAT_IMAGE_ENCODER": False,
+                # Split the DAMSM Inception pass into N sequential chunks
+                # (lax.map): peak activation memory divides by N at the cost
+                # of serialization — combine with REMAT_IMAGE_ENCODER for
+                # large per-chip batches.  1 = single fused pass.
+                "DAMSM_CHUNKS": 1,
                 "LOSS_DTYPE": "float32",
             },
             "BENCH": {

@@ -184,6 +184,7 @@ def make_gan_train_step(cfg, models: GANModels):
     gamma3 = cfg.TRAIN.SMOOTH.GAMMA3
     smooth_lambda = cfg.TRAIN.SMOOTH.LAMBDA
     remat_image_encoder = cfg.JAX.REMAT_IMAGE_ENCODER
+    damsm_chunks = cfg.JAX.DAMSM_CHUNKS
     g_tx, d_tx = gan_optimizers(cfg)
     generator = models.generator
     text_encoder = models.text_encoder
@@ -302,10 +303,25 @@ def make_gan_train_step(cfg, models: GANModels):
             # rematerialized in the backward pass — its 299^2 activation
             # chain dominates peak HBM and recompute beats spilling when
             # the per-chip batch grows (donation is unavailable on this
-            # runtime — see loop.py).
+            # runtime — see loop.py).  DAMSM_CHUNKS > 1 additionally runs
+            # the encoder over sequential sub-batches (lax.map), dividing
+            # peak activation memory by the chunk count.
             encode = lambda img: image_encoder.apply(state.image, img, False)
             if remat_image_encoder:
                 encode = jax.checkpoint(encode)
+            if damsm_chunks > 1:
+                def encode_chunked(img, _enc=encode):
+                    bsz = img.shape[0]
+                    assert bsz % damsm_chunks == 0, (bsz, damsm_chunks)
+                    chunks = img.reshape(
+                        damsm_chunks, bsz // damsm_chunks, *img.shape[1:]
+                    )
+                    region_c, code_c = jax.lax.map(_enc, chunks)
+                    return (
+                        region_c.reshape(bsz, *region_c.shape[2:]),
+                        code_c.reshape(bsz, code_c.shape[-1]),
+                    )
+                encode = encode_chunked
             region, code = encode(fakes[-1])
             w0, w1 = words_loss(
                 region, words_embs, match_labels, cap_lens, class_ids,

@@ -45,7 +45,7 @@ def make_args(cfg, b):
             jnp.asarray(class_ids), jax.random.PRNGKey(1))
 
 
-def run(name, b, lam, use_pallas=False):
+def run(name, b, lam, use_pallas=False, remat=False, chunks=1):
     cfg = cfg_from_dict(
         {
             "TREE": {"BRANCH_NUM": 3},
@@ -54,7 +54,8 @@ def run(name, b, lam, use_pallas=False):
             "TRAIN": {"BATCH_SIZE": b,
                       "SMOOTH": {"GAMMA1": 4.0, "GAMMA2": 5.0,
                                  "GAMMA3": 10.0, "LAMBDA": lam}},
-            "JAX": {"DTYPE": "bfloat16", "USE_PALLAS": use_pallas},
+            "JAX": {"DTYPE": "bfloat16", "USE_PALLAS": use_pallas,
+                    "REMAT_IMAGE_ENCODER": remat, "DAMSM_CHUNKS": chunks},
         }
     )
     models = build_models(cfg, 5450)
@@ -79,3 +80,6 @@ if __name__ == "__main__":
         run("pallas_b32", 32, 5.0, use_pallas=True)
     elif which == "b256":
         run("full_b256", 256, 5.0)
+    elif which == "chunks":
+        run("b64_remat_chunks4", 64, 5.0, remat=True, chunks=4)
+        run("b128_remat_chunks8", 128, 5.0, remat=True, chunks=8)

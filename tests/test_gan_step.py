@@ -139,6 +139,23 @@ def test_sample_fn(setup, rng):
     assert len(att) == cfg.TREE.BRANCH_NUM - 1
 
 
+def test_chunked_damsm_matches_unchunked(rng):
+    """DAMSM_CHUNKS + REMAT_IMAGE_ENCODER are pure memory levers: losses
+    must match the fused pass."""
+    cfg_a = tiny_cfg(**{"TREE.BRANCH_NUM": 1})
+    cfg_b = tiny_cfg(**{"TREE.BRANCH_NUM": 1, "JAX.DAMSM_CHUNKS": 2,
+                        "JAX.REMAT_IMAGE_ENCODER": True})
+    models = build_models(cfg_a, N_WORDS)
+    state = init_gan_state(cfg_a, models, jax.random.PRNGKey(0))
+    imgs, captions, cap_lens, class_ids = make_batch(cfg_a, rng, 8)
+    args = (state, imgs, captions, cap_lens, class_ids, jax.random.PRNGKey(9))
+    _, logs_a = jax.jit(make_gan_train_step(cfg_a, models))(*args)
+    _, logs_b = jax.jit(make_gan_train_step(cfg_b, models))(*args)
+    for k in logs_a:
+        np.testing.assert_allclose(float(logs_b[k]), float(logs_a[k]),
+                                   rtol=1e-3, atol=1e-3, err_msg=k)
+
+
 def test_grad_accumulation(rng):
     """GRAD_ACCUM=2: optimizers apply every 2 micro-steps (optax.MultiSteps)
     — params frozen after step 1, moved after step 2."""
