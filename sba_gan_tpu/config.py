@@ -83,6 +83,9 @@ def default_config() -> ConfigDict:
                     "LAMBDA": 1.0,
                 },
                 "MIXING": False,
+                # gen-2 critic schedule: G updates every CRITIC_ITER D steps
+                # (Old_Code/code/miscc/config.py:79, trainer.py:219)
+                "CRITIC_ITER": 5,
             },
             "GAN": {
                 "DF_DIM": 64,
@@ -106,6 +109,40 @@ def default_config() -> ConfigDict:
                 "CAPTIONS_PER_IMAGE": 10,
                 "EMBEDDING_DIM": 256,
                 "WORDS_NUM": 20,
+            },
+            # Gen-2 conditional-StyleGAN stack (SURVEY.md L8-L9).  Key names
+            # mirror the reference's gen-2 schema
+            # (Old_Code/code/miscc/config.py:23-70), nested here instead of
+            # top-level so one unified config serves every generation.
+            "GEN2": {
+                "E_DIM": 128,
+                "C_DIM": 128,
+                "Z_DIM": 128,
+                "W_DIM": 256,
+                "A_DIM": 256,
+                "WORD_DIM": 768,
+                "MAX_LENGTH": 18,
+                "M_LAYERS": 8,
+                "M_USE_NORM": True,
+                "RESOLUTION": 128,
+                "RESOLUTION_INIT": 4,
+                "USE_ATTENTION": False,
+                "USE_NOISE": False,
+                "USE_PIXEL_NORM": False,
+                "USE_INSTANCE_NORM": True,
+                "USE_TRUNCATION": False,
+                "FMAP_BASE": 4096,
+                "FMAP_MAX": 256,
+                "WGAN": True,
+                "WGAN_LAMBDA": 10.0,
+                # text-tower dims (bert-base-uncased by default, matching
+                # TEXT.PRETRAINED_MODEL in the reference schema); shrink for
+                # CPU tests
+                "BERT_VOCAB": 30522,
+                "BERT_HIDDEN": 768,
+                "BERT_LAYERS": 12,
+                "BERT_HEADS": 12,
+                "BERT_INTERMEDIATE": 3072,
             },
             # --- TPU-native extensions (no reference analogue) ---
             "MODEL": {
