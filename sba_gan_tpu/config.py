@@ -175,6 +175,14 @@ def default_config() -> ConfigDict:
                 # per-chip batch 32 for large-batch HBM headroom (measured:
                 # batch 128 OOMs without it).
                 "REMAT_IMAGE_ENCODER": False,
+                # Rematerialize the generator forward in the G backward
+                # (the step keeps no G residuals).  Measured on v5e
+                # (scripts/perf_ablation.py rematg): a clear LOSS at these
+                # dims — batch 64 regresses 5.0 -> 103 ms/step and batch 128
+                # still thrashes (320 ms) — the recompute breaks XLA's
+                # fusion across the G/D boundary.  Kept for bigger-model
+                # regimes; default off.
+                "REMAT_GENERATOR": False,
                 # Split the DAMSM Inception pass into N sequential chunks
                 # (lax.map): peak activation memory divides by N at the cost
                 # of serialization — combine with REMAT_IMAGE_ENCODER for

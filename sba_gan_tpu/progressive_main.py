@@ -41,9 +41,19 @@ def parse_args():
                    help="samples per resolution phase (train.py:373)")
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--d_lr_mult", type=float, default=4.0,
+                   help="D lr multiplier (train.py:418 uses 4x)")
+    p.add_argument("--sched", action="store_true",
+                   help="per-resolution lr/batch schedule "
+                        "(train.py:450-456)")
     p.add_argument("--n_critic", type=int, default=1)
     p.add_argument("--mixing", type=float, default=0.9)
     p.add_argument("--z_dim", type=int, default=128)
+    p.add_argument("--w_dim", type=int, default=512)
+    p.add_argument("--fmap_max", type=int, default=512)
+    p.add_argument("--batch_cap", type=int, default=0,
+                   help="cap scheduled batch sizes (0 = no cap); for "
+                        "smoke-scale runs of --sched")
     p.add_argument("--conditional", action="store_true")
     p.add_argument("--embed_dim", type=int, default=256)
     p.add_argument("--steps", type=int, default=100_000)
@@ -56,6 +66,14 @@ def parse_args():
     p.add_argument("--inception_weights", default=None)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
+
+
+# per-resolution schedules (Old_Code/train.py:450-456); the reference's
+# adjust_lr applies the same dict to G and D with different fallbacks
+SCHED_LR = {4: 1e-3, 8: 1e-3, 16: 5e-4, 32: 1e-4, 64: 1e-4, 128: 1e-4,
+            256: 1e-4}
+SCHED_BATCH = {4: 64, 8: 64, 16: 64, 32: 32, 64: 32, 128: 16, 256: 16}
+SCHED_BATCH_DEFAULT = 32
 
 
 def build_data(args):
@@ -76,9 +94,10 @@ def main():
     args = parse_args()
     mkdir_p(args.output_dir)
     trainer = ProgressiveTrainer(
-        z_dim=args.z_dim, max_resolution=args.max_size,
-        loss_mode=args.loss, lr=args.lr, n_critic=args.n_critic,
-        mixing_prob=args.mixing,
+        z_dim=args.z_dim, w_dim=args.w_dim, max_resolution=args.max_size,
+        fmap_max=args.fmap_max,
+        loss_mode=args.loss, lr=args.lr, d_lr_mult=args.d_lr_mult,
+        n_critic=args.n_critic, mixing_prob=args.mixing,
         embed_dim=args.embed_dim if args.conditional else None,
     )
     rng = jax.random.PRNGKey(args.seed)
@@ -127,9 +146,15 @@ def main():
         is_predict = make_predict_fn(clf, variables)
 
     dataset = build_data(args)
-    loader = DataLoader(dataset, args.batch, shuffle=True, drop_last=True,
-                        seed=args.seed, num_workers=0)
+
+    def make_loader(batch_size):
+        return DataLoader(dataset, batch_size, shuffle=True, drop_last=True,
+                          seed=args.seed, num_workers=0)
+
+    cur_batch = args.batch
+    loader = make_loader(cur_batch)
     data_iter = iter(loader)
+    cur_res = None
 
     gstep = int(state.step)
     t0 = time.time()
@@ -145,6 +170,21 @@ def main():
             gstep, args.phase, args.batch, args.init_size, args.max_size
         )
         res_step = min(int(np.log2(res // 4)), n_blocks - 1)
+        if args.sched and res != cur_res:
+            # phase switch: retune lrs + batch (train.py:102-103,163-180)
+            state = trainer.with_lr(state, SCHED_LR.get(res, 1e-4),
+                                    SCHED_LR.get(res, 4e-4))
+            new_batch = SCHED_BATCH.get(res, SCHED_BATCH_DEFAULT)
+            if args.batch_cap:
+                new_batch = min(new_batch, args.batch_cap)
+            if new_batch != cur_batch:
+                cur_batch = new_batch
+                loader = make_loader(cur_batch)
+                data_iter = iter(loader)
+                batch = next(data_iter)
+            print(f"phase switch -> res {res}, batch {cur_batch}, "
+                  f"g_lr {SCHED_LR.get(res, 1e-4)}", flush=True)
+        cur_res = res
         real = jnp.asarray(batch.imgs[-1])
         if real.shape[1] != res:
             real = jax.image.resize(

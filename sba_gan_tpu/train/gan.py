@@ -184,6 +184,7 @@ def make_gan_train_step(cfg, models: GANModels):
     gamma3 = cfg.TRAIN.SMOOTH.GAMMA3
     smooth_lambda = cfg.TRAIN.SMOOTH.LAMBDA
     remat_image_encoder = cfg.JAX.REMAT_IMAGE_ENCODER
+    remat_generator = cfg.JAX.REMAT_GENERATOR
     damsm_chunks = cfg.JAX.DAMSM_CHUNKS
     g_tx, d_tx = gan_optimizers(cfg)
     generator = models.generator
@@ -220,8 +221,12 @@ def make_gan_train_step(cfg, models: GANModels):
             )
             return (tuple(fakes), mu, logvar), (att, mut["batch_stats"])
 
+        # REMAT_GENERATOR: keep no G residuals — the backward recomputes the
+        # G forward once.  The G activation chain is the biggest residual
+        # consumer in the step (measured: plain batch 128 HBM-thrashes).
+        g_fwd = jax.checkpoint(g_forward) if remat_generator else g_forward
         (fakes, mu, logvar), g_vjp, (_, g_new_bs) = jax.vjp(
-            g_forward, state.g.params, has_aux=True
+            g_fwd, state.g.params, has_aux=True
         )
 
         # reals per D scale; the DCGAN variant has one D at the final scale.

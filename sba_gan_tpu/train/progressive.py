@@ -53,6 +53,7 @@ class ProgressiveTrainer:
         fmap_max: int = 512,
         loss_mode: str = "wgan-gp",  # 'wgan-gp' | 'r1'
         lr: float = 1e-3,
+        d_lr_mult: float = 4.0,  # D lr = 4x G lr (Old_Code/train.py:418)
         n_critic: int = 1,
         mixing_prob: float = 0.9,
         embed_dim: Optional[int] = None,  # text conditioning dim, or None
@@ -79,9 +80,14 @@ class ProgressiveTrainer:
                 params,
             )
 
-        self._g_tx_raw = optax.adam(lr, b1=0.0, b2=0.99)
+        # inject_hyperparams so the per-resolution lr schedule
+        # (Old_Code/train.py:450-456, applied via adjust_lr at each phase
+        # switch, :102-103,178-180) can retune without rebuilding opt state
+        self._g_tx_raw = optax.inject_hyperparams(optax.adam)(
+            learning_rate=lr, b1=0.0, b2=0.99)
         self._mlp_mask = mlp_mask
-        self._d_tx = optax.adam(lr, b1=0.0, b2=0.99)
+        self._d_tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=lr * d_lr_mult, b1=0.0, b2=0.99)
         self._step_cache: Dict[int, Tuple[Callable, Callable]] = {}
 
     def _g_tx(self, params):
@@ -89,6 +95,20 @@ class ProgressiveTrainer:
             self._g_tx_raw,
             optax.masked(optax.scale(0.01), self._mlp_mask(params)),
         )
+
+    def with_lr(self, state: "ProgressiveState", g_lr: float,
+                d_lr: float) -> "ProgressiveState":
+        """Retune learning rates at a phase switch (the reference's
+        adjust_lr, Old_Code/train.py:76-79,178-180).  G's opt state is a
+        (inject_adam, masked_scale) chain; D's is a bare inject_adam."""
+        g_inject = state.g_opt[0]._replace(
+            hyperparams={**state.g_opt[0].hyperparams,
+                         "learning_rate": jnp.asarray(g_lr, jnp.float32)})
+        d_inject = state.d_opt._replace(
+            hyperparams={**state.d_opt.hyperparams,
+                         "learning_rate": jnp.asarray(d_lr, jnp.float32)})
+        return state.replace(g_opt=(g_inject,) + tuple(state.g_opt[1:]),
+                             d_opt=d_inject)
 
     def init_state(self, rng: jax.Array, batch: int = 2) -> ProgressiveState:
         r_g, r_d, r_noise = jax.random.split(rng, 3)

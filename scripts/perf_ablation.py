@@ -45,7 +45,8 @@ def make_args(cfg, b):
             jnp.asarray(class_ids), jax.random.PRNGKey(1))
 
 
-def run(name, b, lam, use_pallas=False, remat=False, chunks=1):
+def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
+        remat_g=False):
     cfg = cfg_from_dict(
         {
             "TREE": {"BRANCH_NUM": 3},
@@ -55,7 +56,8 @@ def run(name, b, lam, use_pallas=False, remat=False, chunks=1):
                       "SMOOTH": {"GAMMA1": 4.0, "GAMMA2": 5.0,
                                  "GAMMA3": 10.0, "LAMBDA": lam}},
             "JAX": {"DTYPE": "bfloat16", "USE_PALLAS": use_pallas,
-                    "REMAT_IMAGE_ENCODER": remat, "DAMSM_CHUNKS": chunks},
+                    "REMAT_IMAGE_ENCODER": remat, "DAMSM_CHUNKS": chunks,
+                    "REMAT_GENERATOR": remat_g},
         }
     )
     models = build_models(cfg, 5450)
@@ -83,3 +85,12 @@ if __name__ == "__main__":
     elif which == "chunks":
         run("b64_remat_chunks4", 64, 5.0, remat=True, chunks=4)
         run("b128_remat_chunks8", 128, 5.0, remat=True, chunks=8)
+    elif which == "rematg":
+        run("b64_rematg", 64, 5.0, remat=True, chunks=4, remat_g=True)
+        run("b128_rematg_chunks8", 128, 5.0, remat=True, chunks=8,
+            remat_g=True)
+        run("b128_rematg_chunks4", 128, 5.0, remat=True, chunks=4,
+            remat_g=True)
+    elif which == "rematg256":
+        run("b256_rematg_chunks8", 256, 5.0, remat=True, chunks=8,
+            remat_g=True)

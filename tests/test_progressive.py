@@ -103,3 +103,21 @@ def test_unconditional_generator():
                jax.random.PRNGKey(1))
     img = g.apply(v, z, None, 1, jnp.float32(1.0), jax.random.PRNGKey(2))
     assert img.shape == (2, 8, 8, 3)
+
+
+def test_d_lr_mult_default_and_with_lr(trainer, state):
+    """D trains at 4x G's lr by default (Old_Code/train.py:418); with_lr
+    retunes both at a phase switch (adjust_lr, train.py:76-79,178-180)."""
+    assert float(state.d_opt.hyperparams["learning_rate"]) == pytest.approx(
+        4.0 * float(state.g_opt[0].hyperparams["learning_rate"]))
+    retuned = trainer.with_lr(state, 5e-4, 2e-3)
+    assert float(retuned.g_opt[0].hyperparams["learning_rate"]) == (
+        pytest.approx(5e-4))
+    assert float(retuned.d_opt.hyperparams["learning_rate"]) == (
+        pytest.approx(2e-3))
+    # retuned state still steps
+    d_step, _ = trainer.steps_for(1)
+    real = jnp.zeros((2, 8, 8, 3), jnp.float32)
+    s, loss = d_step(retuned, real, jnp.zeros((2, 12)), jnp.float32(1.0),
+                     jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
