@@ -16,6 +16,7 @@ from sba_gan_tpu.parallel.mesh import (
     init_distributed,
     local_batch_size,
     make_mesh,
+    tensor_constraint,
     replicated,
     shard_batch,
 )
@@ -27,4 +28,5 @@ __all__ = [
     "replicated",
     "shard_batch",
     "local_batch_size",
+    "tensor_constraint",
 ]

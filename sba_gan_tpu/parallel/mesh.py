@@ -98,6 +98,26 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     return jax.tree.map(put, batch, is_leaf=lambda x: isinstance(x, (np.ndarray, jax.Array)) or not isinstance(x, (tuple, list, dict)))
 
 
+def tensor_constraint(mesh: Optional[Mesh]):
+    """Returns constrain(x, spec) -> x for tensor-parallel activation
+    sharding, or None when there is no model axis to use.
+
+    The reference has no TP (single GPU, trainer.py:36); this is the
+    TPU-native scaling extension: annotate the big frozen-encoder
+    activations with a ('data', ..., 'model') PartitionSpec and let GSPMD
+    propagate the channel sharding into the conv tower, inserting ICI
+    collectives where needed (scaling-book recipe: pick a mesh, annotate,
+    let XLA insert collectives)."""
+    if mesh is None or mesh.shape.get("model", 1) <= 1:
+        return None
+
+    def constrain(x, spec):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(*spec)))
+
+    return constrain
+
+
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:
     """Per-data-shard batch size; validates divisibility up front so the
     error is a config error, not an XLA sharding failure."""

@@ -170,7 +170,7 @@ def init_gan_state(
     )
 
 
-def make_gan_train_step(cfg, models: GANModels):
+def make_gan_train_step(cfg, models: GANModels, mesh=None):
     """Build the pure train-step function (jit it with the desired
     shardings).  Signature:
 
@@ -178,7 +178,15 @@ def make_gan_train_step(cfg, models: GANModels):
             -> (new_state, logs)
 
     imgs: tuple of per-branch (B, S, S, 3) arrays in [-1, 1].
+
+    With a mesh whose ``model`` axis is > 1, the DAMSM encoder activations
+    get tensor-parallel sharding constraints (parallel.tensor_constraint):
+    GSPMD shards the Inception channel dimension over 'model' and the batch
+    over 'data' — DP x TP over one jitted program.
     """
+    from sba_gan_tpu.parallel import tensor_constraint
+
+    constrain = tensor_constraint(mesh)
     gamma1 = cfg.TRAIN.SMOOTH.GAMMA1
     gamma2 = cfg.TRAIN.SMOOTH.GAMMA2
     gamma3 = cfg.TRAIN.SMOOTH.GAMMA3
@@ -328,6 +336,9 @@ def make_gan_train_step(cfg, models: GANModels):
                     )
                 encode = encode_chunked
             region, code = encode(fakes[-1])
+            if constrain is not None:
+                region = constrain(region, ("data", None, "model"))
+                code = constrain(code, ("data", "model"))
             w0, w1 = words_loss(
                 region, words_embs, match_labels, cap_lens, class_ids,
                 gamma1=gamma1, gamma2=gamma2, gamma3=gamma3,

@@ -89,7 +89,8 @@ class GANTrainer:
         # fails donated programs with an async InvalidArgument (verified by
         # per-variant isolation).  Peak-HBM headroom is ample at these model
         # sizes; revisit donation on direct (non-tunneled) TPU runtimes.
-        self.step_fn = jax.jit(make_gan_train_step(cfg, self.models))
+        self.step_fn = jax.jit(
+            make_gan_train_step(cfg, self.models, mesh=self.mesh))
         _sample = make_sample_fn(cfg, self.models)
         self.sample_fn = jax.jit(_sample)
         self.sample_noise_fn = jax.jit(_sample.with_noise)
