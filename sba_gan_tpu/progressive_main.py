@@ -32,6 +32,11 @@ from sba_gan_tpu.utils.image import make_grid, mkdir_p
 def parse_args():
     p = argparse.ArgumentParser(description="Progressive StyleGAN trainer")
     p.add_argument("--data_dir", default="")
+    p.add_argument("--pack", default="",
+                   help="multi-resolution pack dir (python -m "
+                        "sba_gan_tpu.prepare_data) — reads per-rung JPEGs "
+                        "like the reference's LMDB loader "
+                        "(Old_Code/train.py:95-99,448)")
     p.add_argument("--output_dir", default="output/progressive")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--loss", choices=["wgan-gp", "r1"], default="wgan-gp")
@@ -77,6 +82,8 @@ SCHED_BATCH_DEFAULT = 32
 
 
 def build_data(args):
+    if args.pack:
+        return None  # pack mode builds per-rung datasets in main()
     if args.synthetic:
         from sba_gan_tpu.data.cub import SyntheticDataset
 
@@ -113,8 +120,11 @@ def main():
         from sba_gan_tpu.config import cfg_from_dict
 
         cfg = cfg_from_dict({"TEXT": {"EMBEDDING_DIM": args.embed_dim}})
-        ds_tmp = build_data(args)
-        n_words = getattr(ds_tmp, "n_words", len(ds_tmp.ixtoword))
+        if args.pack:
+            n_words = 30522  # BERT wordpiece id space (dataset.py:31)
+        else:
+            ds_tmp = build_data(args)
+            n_words = getattr(ds_tmp, "n_words", len(ds_tmp.ixtoword))
         text_encoder = build_text_encoder(cfg, n_words)
         text_vars = text_encoder.init(
             {"params": rng, "dropout": rng},
@@ -147,44 +157,78 @@ def main():
 
     dataset = build_data(args)
 
-    def make_loader(batch_size):
+    def make_loader(batch_size, res):
+        if args.pack:
+            # per-rung JPEG reads, BERT tokens fixed at 24
+            # (Old_Code/dataset.py:11-60)
+            from types import SimpleNamespace
+
+            from sba_gan_tpu.data.multires import (
+                MultiResolutionDataset,
+                batch_iterator,
+            )
+
+            ds = MultiResolutionDataset(args.pack, resolution=res,
+                                        max_length=24, seed=args.seed)
+
+            def gen():
+                epoch = 0
+                while True:
+                    for imgs, toks in batch_iterator(ds, batch_size,
+                                                     seed=args.seed + epoch):
+                        lens = np.maximum(
+                            (toks != 0).sum(axis=1), 1).astype(np.int32)
+                        yield SimpleNamespace(imgs=(imgs,), captions=toks,
+                                              cap_lens=lens)
+                    epoch += 1
+
+            return gen()
         return DataLoader(dataset, batch_size, shuffle=True, drop_last=True,
                           seed=args.seed, num_workers=0)
 
-    cur_batch = args.batch
-    loader = make_loader(cur_batch)
-    data_iter = iter(loader)
-    cur_res = None
-
     gstep = int(state.step)
+    cur_batch = args.batch
+    cur_res, _ = progressive_schedule(
+        gstep, args.phase, args.batch, args.init_size, args.max_size)
+    if args.sched:
+        state = trainer.with_lr(state, SCHED_LR.get(cur_res, 1e-4),
+                                SCHED_LR.get(cur_res, 4e-4))
+        cur_batch = SCHED_BATCH.get(cur_res, SCHED_BATCH_DEFAULT)
+        if args.batch_cap:
+            cur_batch = min(cur_batch, args.batch_cap)
+    loader = make_loader(cur_batch, cur_res)
+    data_iter = iter(loader)
+
     t0 = time.time()
     g_loss = float("nan")  # no G update yet (n_critic schedule)
     n_blocks = trainer.generator.n_blocks()
     while gstep < args.steps:
+        res, alpha = progressive_schedule(
+            gstep, args.phase, args.batch, args.init_size, args.max_size
+        )
+        res_step = min(int(np.log2(res // 4)), n_blocks - 1)
+        if res != cur_res:
+            # phase switch: retune lrs + batch (train.py:102-103,163-180)
+            new_batch = cur_batch
+            if args.sched:
+                state = trainer.with_lr(state, SCHED_LR.get(res, 1e-4),
+                                        SCHED_LR.get(res, 4e-4))
+                new_batch = SCHED_BATCH.get(res, SCHED_BATCH_DEFAULT)
+                if args.batch_cap:
+                    new_batch = min(new_batch, args.batch_cap)
+            if args.pack or new_batch != cur_batch:
+                cur_batch = new_batch
+                loader = make_loader(cur_batch, res)
+                data_iter = iter(loader)
+            if args.sched:
+                print(f"phase switch -> res {res}, batch {cur_batch}, "
+                      f"g_lr {SCHED_LR.get(res, 1e-4)}", flush=True)
+        cur_res = res
         try:
             batch = next(data_iter)
         except StopIteration:
             data_iter = iter(loader)
             batch = next(data_iter)
-        res, alpha = progressive_schedule(
-            gstep, args.phase, args.batch, args.init_size, args.max_size
-        )
-        res_step = min(int(np.log2(res // 4)), n_blocks - 1)
-        if args.sched and res != cur_res:
-            # phase switch: retune lrs + batch (train.py:102-103,163-180)
-            state = trainer.with_lr(state, SCHED_LR.get(res, 1e-4),
-                                    SCHED_LR.get(res, 4e-4))
-            new_batch = SCHED_BATCH.get(res, SCHED_BATCH_DEFAULT)
-            if args.batch_cap:
-                new_batch = min(new_batch, args.batch_cap)
-            if new_batch != cur_batch:
-                cur_batch = new_batch
-                loader = make_loader(cur_batch)
-                data_iter = iter(loader)
-                batch = next(data_iter)
-            print(f"phase switch -> res {res}, batch {cur_batch}, "
-                  f"g_lr {SCHED_LR.get(res, 1e-4)}", flush=True)
-        cur_res = res
         real = jnp.asarray(batch.imgs[-1])
         if real.shape[1] != res:
             real = jax.image.resize(
@@ -208,8 +252,9 @@ def main():
                 f"({(time.time() - t0):.0f}s)", flush=True,
             )
         if gstep % args.sample_every == 0:
-            imgs = trainer.sample(state, jax.random.PRNGKey(gstep), 8,
-                                  res_step, sent_emb=(sent[:8] if sent is not None else None),
+            nb = min(8, cur_batch) if sent is not None else 8
+            imgs = trainer.sample(state, jax.random.PRNGKey(gstep), nb,
+                                  res_step, sent_emb=(sent[:nb] if sent is not None else None),
                                   alpha=alpha)
             from PIL import Image
 
