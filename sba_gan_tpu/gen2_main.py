@@ -102,7 +102,16 @@ def main() -> None:
         ds = MultiResolutionDataset(
             args.data_dir, resolution=cfg.GEN2.RESOLUTION,
             max_length=cfg.GEN2.MAX_LENGTH, seed=epoch)
-        return batch_iterator(ds, cfg.TRAIN.BATCH_SIZE, seed=epoch)
+        vocab = cfg.GEN2.BERT_VOCAB
+
+        def clamped():
+            # sub-BERT test towers: fold wordpiece ids into the configured
+            # vocab (full towers use vocab 30522 and ids always fit)
+            for imgs, toks in batch_iterator(ds, cfg.TRAIN.BATCH_SIZE,
+                                             seed=epoch):
+                yield imgs, np.where(toks == 0, 0, 1 + (toks - 1) % (vocab - 1))
+
+        return clamped()
 
     fixed_tokens = None
     for epoch in range(cfg.TRAIN.MAX_EPOCH):
