@@ -123,7 +123,14 @@ class StyledGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, z, sent_emb, step: int, alpha, rng,
-                 crossover: Optional[int] = None):
+                 crossover: Optional[int] = None,
+                 w_mean=None, style_weight: float = 0.7,
+                 return_w: bool = False):
+        """``w_mean``/``style_weight``: truncation toward the mean style
+        (reference StyledGenerator mean_style/style_weight,
+        Old_Code/model.py:484-498, generate.py:26-35).  ``return_w=True``
+        short-circuits after the style MLP — used to estimate the mean
+        style (generate.py:11-24)."""
         assert 0 <= step < self.n_blocks()
         pn = PixelNorm()
 
@@ -152,6 +159,12 @@ class StyledGenerator(nn.Module):
             w0, w1 = style(z[0]), style(z[1])
         else:
             w0 = w1 = style(z)
+        if return_w:
+            return w0
+        if w_mean is not None:
+            # truncation trick: w <- mean + psi * (w - mean)
+            w0 = w_mean + style_weight * (w0 - w_mean)
+            w1 = w_mean + style_weight * (w1 - w_mean)
         cross = crossover if crossover is not None else self.n_blocks()
 
         rngs = jax.random.split(rng, step + 1)

@@ -121,3 +121,37 @@ def test_d_lr_mult_default_and_with_lr(trainer, state):
     s, loss = d_step(retuned, real, jnp.zeros((2, 12)), jnp.float32(1.0),
                      jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+def test_truncation_toward_mean_style(trainer, state):
+    """w_mean/style_weight truncation (generate.py:26-35) changes the
+    output; style_weight=1 is a no-op."""
+    z = jax.random.normal(jax.random.PRNGKey(3), (2, 8))
+    sent = jnp.zeros((2, 12))
+    rng = jax.random.PRNGKey(4)
+    w_mean = trainer.generator.apply(
+        {"params": state.g_params}, z, sent, 0, jnp.float32(1.0), rng,
+        return_w=True).mean(axis=0, keepdims=True)
+    plain = trainer.generator.apply(
+        {"params": state.g_params}, z, sent, 1, jnp.float32(1.0), rng)
+    trunc = trainer.generator.apply(
+        {"params": state.g_params}, z, sent, 1, jnp.float32(1.0), rng,
+        w_mean=w_mean, style_weight=0.2)
+    noop = trainer.generator.apply(
+        {"params": state.g_params}, z, sent, 1, jnp.float32(1.0), rng,
+        w_mean=w_mean, style_weight=1.0)
+    assert np.any(np.asarray(plain) != np.asarray(trunc))
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(noop),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_style_mixing_grid_layout(trainer, state):
+    from sba_gan_tpu.progressive_generate import style_mixing_grid
+
+    imgs = style_mixing_grid(
+        trainer.generator, state.g_params, 8, 1, None, 0.7,
+        jax.random.PRNGKey(5), n_source=3, n_target=2,
+        sent_emb=jnp.zeros((1, 12)))
+    # (n_target+1) rows x (n_source+1) cols of 8x8 images
+    assert imgs.shape == ((2 + 1) * (3 + 1), 8, 8, 3)
+    assert np.isfinite(imgs).all()
