@@ -51,6 +51,9 @@ def main():
                 "DTYPE": "bfloat16" if platform == "tpu" else "float32",
                 "REMAT_IMAGE_ENCODER": platform == "tpu",
                 "DAMSM_CHUNKS": 4 if platform == "tpu" else 1,
+                # bf16 inputs for the (B,B,T,R) words-loss einsums (f32
+                # softmax/accum): same-day A/B 9.1 -> 8.2 ms/step
+                "LOSS_DTYPE": "bfloat16" if platform == "tpu" else "float32",
             },
         }
     )

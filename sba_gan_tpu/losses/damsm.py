@@ -80,6 +80,7 @@ def words_loss(
     gamma2: float = 5.0,
     gamma3: float = 10.0,
     return_attn: bool = False,
+    einsum_dtype=jnp.float32,
 ):
     """Word-level DAMSM loss (reference words_loss, losses.py:62-132), fully
     batched.
@@ -92,17 +93,24 @@ def words_loss(
     Returns (loss0, loss1) and, when return_attn, the per-sample attention
     maps attn[i] of text i over its own image, (B, T, R) — the reference's
     att_maps visualization payload (losses.py:92).
+
+    einsum_dtype: input dtype for the three (B,B,T,R)-scale einsums
+    (cfg.JAX.LOSS_DTYPE).  bfloat16 halves the HBM traffic of the
+    attention-grid tensors and runs the matmuls at full MXU rate;
+    accumulation and every softmax/log-sum-exp stay float32.
     """
     img = img_features.astype(jnp.float32)
     words = words_emb.astype(jnp.float32)
     b, t, d = words.shape
     r = img.shape[1]
+    img_e = img.astype(einsum_dtype)
+    words_e = words.astype(einsum_dtype)
 
     word_valid = jnp.arange(t)[None, :] < cap_lens[:, None]  # (B_text, T)
 
     # Eq. 7: scores[i, j, t, r] — text i's word t against image j's region r.
     scores = jnp.einsum(
-        "itd,jrd->ijtr", words, img, preferred_element_type=jnp.float32
+        "itd,jrd->ijtr", words_e, img_e, preferred_element_type=jnp.float32
     )
     # Eq. 8: softmax over words of text i (valid words only).
     wmask = word_valid[:, None, :, None]  # (B_text, 1, T, 1)
@@ -111,12 +119,15 @@ def words_loss(
     attn = jax.nn.softmax(gamma1 * attn, axis=3)
     # Weighted region context per (text, image, word).
     context = jnp.einsum(
-        "ijtr,jrd->ijtd", attn, img, preferred_element_type=jnp.float32
+        "ijtr,jrd->ijtd", attn.astype(einsum_dtype), img_e,
+        preferred_element_type=jnp.float32
     )
 
     # Cosine similarity word <-> its context (reference cosine_similarity,
     # losses.py:11-17), then Eq. 10: gamma2 log-sum-exp over valid words.
-    num = jnp.einsum("itd,ijtd->ijt", words, context)
+    num = jnp.einsum("itd,ijtd->ijt", words_e,
+                     context.astype(einsum_dtype),
+                     preferred_element_type=jnp.float32)
     wnorm = jnp.linalg.norm(words, axis=2)[:, None, :]  # (B_text,1,T)
     cnorm = jnp.linalg.norm(context, axis=3)  # (B_text,B_img,T)
     row_sim = num / jnp.clip(wnorm * cnorm, min=EPS)  # (B_text,B_img,T)

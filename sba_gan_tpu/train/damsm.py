@@ -143,6 +143,8 @@ class DAMSMTrainer:
         gamma1 = cfg.TRAIN.SMOOTH.GAMMA1
         gamma2 = cfg.TRAIN.SMOOTH.GAMMA2
         gamma3 = cfg.TRAIN.SMOOTH.GAMMA3
+        loss_dtype = (jnp.bfloat16 if cfg.JAX.LOSS_DTYPE == "bfloat16"
+                      else jnp.float32)
         text_encoder = self.models.text_encoder
         image_encoder = self.models.image_encoder
         text_tx, image_tx = self._text_tx, self._image_tx
@@ -169,6 +171,7 @@ class DAMSMTrainer:
             w0, w1 = words_loss(
                 region, words_emb, labels, cap_lens, class_ids,
                 gamma1=gamma1, gamma2=gamma2, gamma3=gamma3,
+                einsum_dtype=loss_dtype,
             )
             s0, s1 = sent_loss(code, sent_emb, labels, class_ids, gamma3=gamma3)
             total = w0 + w1 + s0 + s1

@@ -194,6 +194,8 @@ def make_gan_train_step(cfg, models: GANModels, mesh=None):
     remat_image_encoder = cfg.JAX.REMAT_IMAGE_ENCODER
     remat_generator = cfg.JAX.REMAT_GENERATOR
     damsm_chunks = cfg.JAX.DAMSM_CHUNKS
+    loss_dtype = (jnp.bfloat16 if cfg.JAX.LOSS_DTYPE == "bfloat16"
+                  else jnp.float32)
     g_tx, d_tx = gan_optimizers(cfg)
     generator = models.generator
     text_encoder = models.text_encoder
@@ -311,6 +313,15 @@ def make_gan_train_step(cfg, models: GANModels, mesh=None):
                 glogs[f"g_loss{i}"] = gl
                 total = total + gl
 
+            if smooth_lambda == 0.0:
+                # LAMBDA 0 drops the DAMSM terms from the graph entirely
+                # (the reference would still run the dead encoder forward;
+                # skipping it is pure win and gives perf ablations an
+                # honest no-DAMSM operating point)
+                kl = kl_loss(mu, logvar)
+                glogs.update(w_loss=jnp.float32(0.0),
+                             s_loss=jnp.float32(0.0), kl_loss=kl)
+                return total + kl, glogs
             # DAMSM terms on the final scale (losses.py:185-200).  With
             # REMAT_IMAGE_ENCODER the frozen Inception forward is
             # rematerialized in the backward pass — its 299^2 activation
@@ -342,6 +353,7 @@ def make_gan_train_step(cfg, models: GANModels, mesh=None):
             w0, w1 = words_loss(
                 region, words_embs, match_labels, cap_lens, class_ids,
                 gamma1=gamma1, gamma2=gamma2, gamma3=gamma3,
+                einsum_dtype=loss_dtype,
             )
             s0, s1 = sent_loss(code, sent_emb, match_labels, class_ids, gamma3=gamma3)
             w_loss = (w0 + w1) * smooth_lambda

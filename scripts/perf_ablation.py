@@ -1,5 +1,14 @@
 """One-off TPU ablation: where does the train-step time go, and does a
-larger per-chip batch help?  Informs bench.py's operating point."""
+larger per-chip batch help?  Informs bench.py's operating point.
+
+MEASUREMENT RULE: one run() per process.  A second program compiled in the
+same process inherits the first executable's live HBM buffers and can spill
+catastrophically (measured: the same b64 config at 9 ms alone vs 189 ms
+as the second config in one process).  Drive each config like:
+
+    python -c "import sys; sys.path.insert(0,'scripts'); \\
+               from perf_ablation import run; run('x', 64, 5.0, ...)"
+"""
 
 import os
 import sys
@@ -46,7 +55,7 @@ def make_args(cfg, b):
 
 
 def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
-        remat_g=False):
+        remat_g=False, loss_dtype="float32"):
     cfg = cfg_from_dict(
         {
             "TREE": {"BRANCH_NUM": 3},
@@ -57,7 +66,7 @@ def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
                                  "GAMMA3": 10.0, "LAMBDA": lam}},
             "JAX": {"DTYPE": "bfloat16", "USE_PALLAS": use_pallas,
                     "REMAT_IMAGE_ENCODER": remat, "DAMSM_CHUNKS": chunks,
-                    "REMAT_GENERATOR": remat_g},
+                    "REMAT_GENERATOR": remat_g, "LOSS_DTYPE": loss_dtype},
         }
     )
     models = build_models(cfg, 5450)
@@ -91,6 +100,10 @@ if __name__ == "__main__":
             remat_g=True)
         run("b128_rematg_chunks4", 128, 5.0, remat=True, chunks=4,
             remat_g=True)
+    elif which == "lossdtype":
+        run("b64_loss_bf16", 64, 5.0, remat=True, chunks=4,
+            loss_dtype="bfloat16")
+        run("b64_loss_f32", 64, 5.0, remat=True, chunks=4)
     elif which == "rematg256":
         run("b256_rematg_chunks8", 256, 5.0, remat=True, chunks=8,
             remat_g=True)

@@ -7,6 +7,7 @@ per-sample attention — so the batched masked-einsum implementation is checked
 against genuinely independent code.
 """
 
+import jax
 import numpy as np
 import pytest
 import torch
@@ -155,3 +156,27 @@ def test_bce_logits_matches_torch(rng):
             torch.sigmoid(t), torch.full_like(t, target)
         ).item()
         np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() == "cpu",
+    reason="XLA-CPU has no BF16xBF16=F32 dot; bf16 loss einsums are "
+           "TPU-path only (validated on-chip, see NOTES.md)")
+def test_words_loss_bf16_einsum_close_to_f32(rng):
+    """JAX.LOSS_DTYPE=bfloat16 runs the attention-grid einsums in bf16
+    (f32 accumulation/softmax); losses must stay close to the f32 path."""
+    import jax.numpy as jnp
+
+    from sba_gan_tpu.losses.damsm import words_loss
+
+    b, t, r, d = 6, 5, 9, 16
+    img = jnp.asarray(rng.standard_normal((b, r, d)).astype(np.float32))
+    words = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+    lens = jnp.asarray(rng.integers(2, t + 1, (b,)).astype(np.int32))
+    cids = jnp.asarray(rng.integers(0, 3, (b,)).astype(np.int32))
+    labels = jnp.arange(b)
+    f32 = words_loss(img, words, labels, lens, cids)
+    bf16 = words_loss(img, words, labels, lens, cids,
+                      einsum_dtype=jnp.bfloat16)
+    for a, c in zip(f32, bf16):
+        np.testing.assert_allclose(float(a), float(c), rtol=0.05, atol=0.02)
