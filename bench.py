@@ -38,12 +38,15 @@ def main():
             "GAN": {"GF_DIM": 32, "DF_DIM": 64, "Z_DIM": 100, "R_NUM": 2},
             "TEXT": {"EMBEDDING_DIM": 256, "WORDS_NUM": 18},
             "TRAIN": {
-                # per-chip batch 64 with REMAT_IMAGE_ENCODER + 4-way DAMSM
-                # chunking: 5.0 ms/step (~12.8k img/s, value-fenced).  The
-                # memory lever matters because buffer donation is rejected
-                # by this runtime; without it batch 64 HBM-thrashes at
-                # 184 ms/step (see scripts/perf_ablation.py).
-                "BATCH_SIZE": 64 if platform == "tpu" else 4,
+                # per-chip batch 128 with REMAT_IMAGE_ENCODER + 4-way DAMSM
+                # chunking + bf16 words-loss einsums: 4.9 ms/step
+                # (~26k img/s, value-fenced; scripts/perf_ablation.py).
+                # The step time is nearly flat from batch 64 to 128
+                # (dispatch-latency-bound through the tunnel), so the
+                # largest fitting batch wins; 256 OOMs on G vjp residuals.
+                # Memory levers matter because buffer donation is rejected
+                # by this runtime.
+                "BATCH_SIZE": 128 if platform == "tpu" else 4,
                 "SMOOTH": {"GAMMA1": 4.0, "GAMMA2": 5.0, "GAMMA3": 10.0,
                            "LAMBDA": 5.0},
             },

@@ -188,6 +188,11 @@ def default_config() -> ConfigDict:
                 # of serialization — combine with REMAT_IMAGE_ENCODER for
                 # large per-chip batches.  1 = single fused pass.
                 "DAMSM_CHUNKS": 1,
+                # Split the words-loss (B,B,T,R) attention grid over the
+                # image axis into N sequential chunks (lax.map+checkpoint):
+                # bit-identical numerics, peak grid memory / N.  Unlocks
+                # per-chip batch 256 (full grid OOMs there).
+                "DAMSM_GRID_CHUNKS": 1,
                 "LOSS_DTYPE": "float32",
             },
             "BENCH": {

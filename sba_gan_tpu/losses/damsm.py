@@ -81,6 +81,7 @@ def words_loss(
     gamma3: float = 10.0,
     return_attn: bool = False,
     einsum_dtype=jnp.float32,
+    grid_chunks: int = 1,
 ):
     """Word-level DAMSM loss (reference words_loss, losses.py:62-132), fully
     batched.
@@ -98,6 +99,13 @@ def words_loss(
     (cfg.JAX.LOSS_DTYPE).  bfloat16 halves the HBM traffic of the
     attention-grid tensors and runs the matmuls at full MXU rate;
     accumulation and every softmax/log-sum-exp stay float32.
+
+    grid_chunks: split the (B_text, B_img, T, R) grid over the *image*
+    axis into this many sequential chunks (lax.map + checkpoint): every
+    term of the grid math is independent across images, so peak memory
+    divides by the chunk count while numerics are bit-identical.  Unlocks
+    per-chip batches whose full grid would not fit HBM
+    (cfg.JAX.DAMSM_GRID_CHUNKS).
     """
     img = img_features.astype(jnp.float32)
     words = words_emb.astype(jnp.float32)
@@ -107,32 +115,46 @@ def words_loss(
     words_e = words.astype(einsum_dtype)
 
     word_valid = jnp.arange(t)[None, :] < cap_lens[:, None]  # (B_text, T)
-
-    # Eq. 7: scores[i, j, t, r] — text i's word t against image j's region r.
-    scores = jnp.einsum(
-        "itd,jrd->ijtr", words_e, img_e, preferred_element_type=jnp.float32
-    )
-    # Eq. 8: softmax over words of text i (valid words only).
     wmask = word_valid[:, None, :, None]  # (B_text, 1, T, 1)
-    attn = jax.nn.softmax(jnp.where(wmask, scores, NEG_INF), axis=2)
-    # Eq. 9: gamma1-sharpened softmax over regions.
-    attn = jax.nn.softmax(gamma1 * attn, axis=3)
-    # Weighted region context per (text, image, word).
-    context = jnp.einsum(
-        "ijtr,jrd->ijtd", attn.astype(einsum_dtype), img_e,
-        preferred_element_type=jnp.float32
-    )
-
-    # Cosine similarity word <-> its context (reference cosine_similarity,
-    # losses.py:11-17), then Eq. 10: gamma2 log-sum-exp over valid words.
-    num = jnp.einsum("itd,ijtd->ijt", words_e,
-                     context.astype(einsum_dtype),
-                     preferred_element_type=jnp.float32)
     wnorm = jnp.linalg.norm(words, axis=2)[:, None, :]  # (B_text,1,T)
-    cnorm = jnp.linalg.norm(context, axis=3)  # (B_text,B_img,T)
-    row_sim = num / jnp.clip(wnorm * cnorm, min=EPS)  # (B_text,B_img,T)
-    row_sim = jnp.where(word_valid[:, None, :], gamma2 * row_sim, NEG_INF)
-    sim = jax.scipy.special.logsumexp(row_sim, axis=2)  # (B_text, B_img)
+
+    def grid_sim(img_chunk_e):
+        """(B_text, Bc) similarity block for one image chunk."""
+        # Eq. 7: scores[i,j,t,r] — text i's word t vs image j's region r.
+        scores = jnp.einsum(
+            "itd,jrd->ijtr", words_e, img_chunk_e,
+            preferred_element_type=jnp.float32
+        )
+        # Eq. 8: softmax over words of text i (valid words only).
+        attn = jax.nn.softmax(jnp.where(wmask, scores, NEG_INF), axis=2)
+        # Eq. 9: gamma1-sharpened softmax over regions.
+        attn = jax.nn.softmax(gamma1 * attn, axis=3)
+        # Weighted region context per (text, image, word).
+        context = jnp.einsum(
+            "ijtr,jrd->ijtd", attn.astype(einsum_dtype), img_chunk_e,
+            preferred_element_type=jnp.float32
+        )
+        # Cosine similarity word <-> context (reference cosine_similarity,
+        # losses.py:11-17), then Eq. 10: gamma2 log-sum-exp over words.
+        num = jnp.einsum("itd,ijtd->ijt", words_e,
+                         context.astype(einsum_dtype),
+                         preferred_element_type=jnp.float32)
+        cnorm = jnp.linalg.norm(context, axis=3)  # (B_text,Bc,T)
+        row_sim = num / jnp.clip(wnorm * cnorm, min=EPS)
+        row_sim = jnp.where(word_valid[:, None, :], gamma2 * row_sim,
+                            NEG_INF)
+        return jax.scipy.special.logsumexp(row_sim, axis=2), attn
+
+    if grid_chunks > 1:
+        assert not return_attn, "return_attn requires grid_chunks=1"
+        assert b % grid_chunks == 0, (b, grid_chunks)
+        chunked = img_e.reshape(grid_chunks, b // grid_chunks, r, d)
+        sim_blocks = jax.lax.map(
+            jax.checkpoint(lambda ic: grid_sim(ic)[0]), chunked
+        )  # (chunks, B_text, Bc)
+        sim = jnp.concatenate(list(sim_blocks), axis=1)  # (B_text, B_img)
+    else:
+        sim, attn = grid_sim(img_e)
 
     # similarities[i_img, j_text] in the reference (losses.py:111-115).
     similarities = sim.T * gamma3

@@ -194,6 +194,7 @@ def make_gan_train_step(cfg, models: GANModels, mesh=None):
     remat_image_encoder = cfg.JAX.REMAT_IMAGE_ENCODER
     remat_generator = cfg.JAX.REMAT_GENERATOR
     damsm_chunks = cfg.JAX.DAMSM_CHUNKS
+    grid_chunks = cfg.JAX.DAMSM_GRID_CHUNKS
     loss_dtype = (jnp.bfloat16 if cfg.JAX.LOSS_DTYPE == "bfloat16"
                   else jnp.float32)
     g_tx, d_tx = gan_optimizers(cfg)
@@ -353,7 +354,7 @@ def make_gan_train_step(cfg, models: GANModels, mesh=None):
             w0, w1 = words_loss(
                 region, words_embs, match_labels, cap_lens, class_ids,
                 gamma1=gamma1, gamma2=gamma2, gamma3=gamma3,
-                einsum_dtype=loss_dtype,
+                einsum_dtype=loss_dtype, grid_chunks=grid_chunks,
             )
             s0, s1 = sent_loss(code, sent_emb, match_labels, class_ids, gamma3=gamma3)
             w_loss = (w0 + w1) * smooth_lambda

@@ -55,7 +55,7 @@ def make_args(cfg, b):
 
 
 def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
-        remat_g=False, loss_dtype="float32"):
+        remat_g=False, loss_dtype="float32", grid_chunks=1):
     cfg = cfg_from_dict(
         {
             "TREE": {"BRANCH_NUM": 3},
@@ -66,7 +66,8 @@ def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
                                  "GAMMA3": 10.0, "LAMBDA": lam}},
             "JAX": {"DTYPE": "bfloat16", "USE_PALLAS": use_pallas,
                     "REMAT_IMAGE_ENCODER": remat, "DAMSM_CHUNKS": chunks,
-                    "REMAT_GENERATOR": remat_g, "LOSS_DTYPE": loss_dtype},
+                    "REMAT_GENERATOR": remat_g, "LOSS_DTYPE": loss_dtype,
+                    "DAMSM_GRID_CHUNKS": grid_chunks},
         }
     )
     models = build_models(cfg, 5450)

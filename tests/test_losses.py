@@ -180,3 +180,30 @@ def test_words_loss_bf16_einsum_close_to_f32(rng):
                       einsum_dtype=jnp.bfloat16)
     for a, c in zip(f32, bf16):
         np.testing.assert_allclose(float(a), float(c), rtol=0.05, atol=0.02)
+
+
+def test_words_loss_grid_chunks_bit_identical(rng):
+    """DAMSM_GRID_CHUNKS splits the (B,B,T,R) grid over the image axis;
+    losses and gradients must match the unchunked path."""
+    from sba_gan_tpu.losses.damsm import words_loss
+
+    b, t, r, d = 8, 5, 9, 16
+    img = jnp.asarray(rng.standard_normal((b, r, d)).astype(np.float32))
+    words = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+    lens = jnp.asarray(rng.integers(2, t + 1, (b,)).astype(np.int32))
+    cids = jnp.asarray(rng.integers(0, 3, (b,)).astype(np.int32))
+    labels = jnp.arange(b)
+    full = words_loss(img, words, labels, lens, cids)
+    chunked = words_loss(img, words, labels, lens, cids, grid_chunks=4)
+    for a, c in zip(full, chunked):
+        np.testing.assert_allclose(float(a), float(c), rtol=1e-6)
+    g_full = jax.grad(
+        lambda i: sum(words_loss(i, words, labels, lens, cids)))(img)
+    g_chunk = jax.grad(
+        lambda i: sum(words_loss(i, words, labels, lens, cids,
+                                 grid_chunks=4)))(img)
+    np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_chunk),
+                               rtol=1e-5, atol=1e-6)
+    with pytest.raises(AssertionError):
+        words_loss(img, words, labels, lens, cids, grid_chunks=4,
+                   return_attn=True)
