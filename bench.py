@@ -28,7 +28,12 @@ REFERENCE_IMAGES_PER_SEC = 20.0  # unpublished; conservative single-GPU estimate
 
 def main():
     from sba_gan_tpu.config import cfg_from_dict
-    from sba_gan_tpu.train import build_models, init_gan_state, make_gan_train_step
+    from sba_gan_tpu.train import (
+        build_models,
+        init_gan_state,
+        make_gan_train_multistep,
+        make_gan_train_step,
+    )
 
     platform = jax.devices()[0].platform
     # Flagship dims (configs/bird_style.yml); bfloat16 compute on TPU.
@@ -39,11 +44,9 @@ def main():
             "TEXT": {"EMBEDDING_DIM": 256, "WORDS_NUM": 18},
             "TRAIN": {
                 # per-chip batch 128 with REMAT_IMAGE_ENCODER + 4-way DAMSM
-                # chunking + bf16 words-loss einsums: 4.9 ms/step
-                # (~26k img/s, value-fenced; scripts/perf_ablation.py).
-                # The step time is nearly flat from batch 64 to 128
-                # (dispatch-latency-bound through the tunnel), so the
-                # largest fitting batch wins; 256 OOMs on G vjp residuals.
+                # chunking + bf16 words-loss einsums: 310 ms/step, 413 img/s
+                # honest (fence-in-window; scripts/perf_ablation.py).
+                # Batch 64 gives 296 img/s; 256 OOMs on G vjp residuals.
                 # Memory levers matter because buffer donation is rejected
                 # by this runtime.
                 "BATCH_SIZE": 128 if platform == "tpu" else 4,
@@ -55,9 +58,15 @@ def main():
                 "REMAT_IMAGE_ENCODER": platform == "tpu",
                 "DAMSM_CHUNKS": 4 if platform == "tpu" else 1,
                 # bf16 inputs for the (B,B,T,R) words-loss einsums (f32
-                # softmax/accum): same-day A/B 9.1 -> 8.2 ms/step
+                # softmax/accum); halves the grid footprint, grad cosine
+                # vs f32 = 0.99998 on-chip
                 "LOSS_DTYPE": "bfloat16" if platform == "tpu" else "float32",
             },
+            # multi-step fusion (make_gan_train_multistep) amortizes
+            # per-dispatch overhead; with honest in-window fencing the
+            # flagship step is compute-bound (~300 ms at batch 128), so
+            # K=1 here.  The feature matters on low-latency runtimes.
+            "BENCH": {"UNROLL": 1},
         }
     )
     if platform != "tpu":
@@ -74,51 +83,66 @@ def main():
 
     b = cfg.TRAIN.BATCH_SIZE
     t = cfg.TEXT.WORDS_NUM
+    k = cfg.BENCH.UNROLL
     n_words = 5450
     models = build_models(cfg, n_words)
     state = init_gan_state(cfg, models, jax.random.PRNGKey(0))
     # no donation: the axon TPU tunnel fails donated programs with an async
     # InvalidArgument that only surfaces on host fetch (see train/loop.py)
-    step = jax.jit(make_gan_train_step(cfg, models))
+    if k > 1:
+        step = jax.jit(make_gan_train_multistep(cfg, models, k))
+    else:
+        step = jax.jit(make_gan_train_step(cfg, models))
 
     rng = np.random.default_rng(0)
+    lead = (k, b) if k > 1 else (b,)
     imgs = tuple(
         jnp.asarray(
-            rng.uniform(-1, 1, (b, 64 * 2 ** i, 64 * 2 ** i, 3)).astype(np.float32)
+            rng.uniform(
+                -1, 1, lead + (64 * 2 ** i, 64 * 2 ** i, 3)
+            ).astype(np.float32)
         )
         for i in range(cfg.TREE.BRANCH_NUM)
     )
-    captions = np.zeros((b, t), np.int32)
-    cap_lens = rng.integers(4, t + 1, (b,)).astype(np.int32)
-    for i, l in enumerate(cap_lens):
-        captions[i, :l] = rng.integers(1, n_words, (l,))
+    captions = np.zeros(lead + (t,), np.int32)
+    cap_lens = rng.integers(4, t + 1, lead).astype(np.int32)
+    flat_caps = captions.reshape(-1, t)
+    for i, l in enumerate(cap_lens.reshape(-1)):
+        flat_caps[i, :l] = rng.integers(1, n_words, (l,))
     captions = jnp.asarray(captions)
     cap_lens = jnp.asarray(cap_lens)
-    class_ids = jnp.asarray(rng.integers(0, 200, (b,)).astype(np.int32))
+    class_ids = jnp.asarray(rng.integers(0, 200, lead).astype(np.int32))
     key = jax.random.PRNGKey(1)
 
     warmup = cfg.BENCH.WARMUP_STEPS
     measure = cfg.BENCH.MEASURE_STEPS
     for _ in range(warmup):
         state, logs = step(state, imgs, captions, cap_lens, class_ids, key)
-    jax.block_until_ready(state.g.params)
+    float(logs["errG"])  # synchronous drain before timing starts
 
-    # best-of-3 windows: the shared tunnel adds sporadic host-side stalls;
-    # the fastest window is the least-contended (and still value-fenced)
+    # CRITICAL: the timing fence is a HOST VALUE FETCH *inside* the timed
+    # window.  On this runtime jax.block_until_ready returns before
+    # execution finishes (it also fails to surface async errors — see
+    # CLAUDE.md), so block-based windows measure the enqueue rate, not the
+    # device: an earlier bench version recorded 26x-too-fast numbers that
+    # way (XLA cost analysis: 14.8 TFLOP/step at batch 128 — a sub-5 ms
+    # step would exceed the chip's measured 165 TFLOP/s roofline by >10x).
+    # Fetching the last step's loss forces every prior step through the
+    # state dependency chain, so one fetch per window is a complete fence.
     best_dt = float("inf")
+    final = None
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(measure):
             state, logs = step(state, imgs, captions, cap_lens, class_ids, key)
-        jax.block_until_ready(state.g.params)
+        final = {k: float(v) for k, v in logs.items()}  # fence, timed
         best_dt = min(best_dt, time.perf_counter() - t0)
 
-    # correctness fence: materialize the losses on the host — an async
-    # backend failure poisons values and must fail the bench, not fake it
-    final = {k: float(v) for k, v in logs.items()}
+    # correctness: an async backend failure poisons values and must fail
+    # the bench, not fake it
     assert all(np.isfinite(v) for v in final.values()), final
 
-    ips = b * measure / best_dt
+    ips = b * k * measure / best_dt
     print(
         json.dumps(
             {

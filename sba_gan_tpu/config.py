@@ -176,12 +176,10 @@ def default_config() -> ConfigDict:
                 # batch 128 OOMs without it).
                 "REMAT_IMAGE_ENCODER": False,
                 # Rematerialize the generator forward in the G backward
-                # (the step keeps no G residuals).  Measured on v5e
-                # (scripts/perf_ablation.py rematg): a clear LOSS at these
-                # dims — batch 64 regresses 5.0 -> 103 ms/step and batch 128
-                # still thrashes (320 ms) — the recompute breaks XLA's
-                # fusion across the G/D boundary.  Kept for bigger-model
-                # regimes; default off.
+                # (the step keeps no G residuals) — a memory/flops trade
+                # for regimes where G residuals dominate HBM.  Default off;
+                # the earlier speed comparison for this flag predates the
+                # honest timing fence and is void (NOTES.md).
                 "REMAT_GENERATOR": False,
                 # Split the DAMSM Inception pass into N sequential chunks
                 # (lax.map): peak activation memory divides by N at the cost
@@ -190,14 +188,22 @@ def default_config() -> ConfigDict:
                 "DAMSM_CHUNKS": 1,
                 # Split the words-loss (B,B,T,R) attention grid over the
                 # image axis into N sequential chunks (lax.map+checkpoint):
-                # bit-identical numerics, peak grid memory / N.  Unlocks
-                # per-chip batch 256 (full grid OOMs there).
+                # bit-identical numerics, peak grid memory / N.
                 "DAMSM_GRID_CHUNKS": 1,
+                # K train steps per dispatch in the training loop
+                # (lax.scan fusion, make_gan_train_multistep) — amortizes
+                # per-dispatch overhead on low-latency runtimes.  The
+                # flagship step here is compute-bound (~310 ms), so 1.
+                "TRAIN_UNROLL": 1,
                 "LOSS_DTYPE": "float32",
             },
             "BENCH": {
                 "WARMUP_STEPS": 5,
                 "MEASURE_STEPS": 30,
+                # K train steps fused into one dispatch (lax.scan) —
+                # amortizes the runtime's per-dispatch overhead
+                # (make_gan_train_multistep).
+                "UNROLL": 1,
             },
         }
     )

@@ -4,6 +4,7 @@ from sba_gan_tpu.train.gan import (
     build_text_encoder,
     branch_sizes,
     init_gan_state,
+    make_gan_train_multistep,
     make_gan_train_step,
     make_sample_fn,
 )
@@ -23,6 +24,7 @@ __all__ = [
     "build_text_encoder",
     "branch_sizes",
     "init_gan_state",
+    "make_gan_train_multistep",
     "make_gan_train_step",
     "make_sample_fn",
     "DAMSMTrainState",

@@ -387,6 +387,38 @@ def make_gan_train_step(cfg, models: GANModels, mesh=None):
     return step
 
 
+def make_gan_train_multistep(cfg, models: GANModels, n_steps: int,
+                             mesh=None):
+    """K train steps fused into ONE jitted program via ``lax.scan``.
+
+    Dispatching K steps at once amortizes the runtime's per-dispatch
+    overhead — a TPU-native feature with no reference analogue (the
+    reference is an eager per-batch loop, trainer.py:238).  It pays off on
+    low-latency runtimes; the tunneled flagship step here is compute-bound
+    (~310 ms honest), so the default stays 1 (cfg.JAX.TRAIN_UNROLL).
+
+    Signature: multistep(state, imgs, captions, cap_lens, class_ids, rng)
+    where every batch input carries a leading (K, ...) axis and ``imgs`` is
+    the usual per-branch tuple of (K, B, S, S, 3) arrays.  Returns
+    (new_state, logs-of-last-step).  RNG decorrelation across the inner
+    steps comes from the step's own fold_in on ``state.step``.
+    """
+    step = make_gan_train_step(cfg, models, mesh=mesh)
+
+    def multistep(state, imgs, captions, cap_lens, class_ids, rng):
+        def body(st, xs):
+            im, cp, ln, ci = xs
+            return step(st, im, cp, ln, ci, rng)
+
+        state, logs = jax.lax.scan(
+            body, state, (tuple(imgs), captions, cap_lens, class_ids),
+            length=n_steps,
+        )
+        return state, jax.tree.map(lambda x: x[-1], logs)
+
+    return multistep
+
+
 def make_sample_fn(cfg, models: GANModels, use_ema: bool = True, train: bool = False):
     """Pure inference: (state, captions, cap_lens, rng) -> (fake_imgs, att).
 

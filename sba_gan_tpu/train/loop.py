@@ -91,6 +91,15 @@ class GANTrainer:
         # sizes; revisit donation on direct (non-tunneled) TPU runtimes.
         self.step_fn = jax.jit(
             make_gan_train_step(cfg, self.models, mesh=self.mesh))
+        self.unroll = max(1, cfg.JAX.TRAIN_UNROLL)
+        if self.unroll > 1:
+            from sba_gan_tpu.train.gan import make_gan_train_multistep
+
+            self.multistep_fn = jax.jit(make_gan_train_multistep(
+                cfg, self.models, self.unroll, mesh=self.mesh))
+            # (unroll, batch, ...) inputs: batch dim sharded on 'data'
+            self.stacked_sharding = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec(None, "data"))
         _sample = make_sample_fn(cfg, self.models)
         self.sample_fn = jax.jit(_sample)
         self.sample_noise_fn = jax.jit(_sample.with_noise)
@@ -161,20 +170,44 @@ class GANTrainer:
         rng = jax.random.PRNGKey(cfg.JAX.SEED + 1)
         gstep = int(self.state.step)
         timer = StepTimer()
-        for epoch in range(self.start_epoch, max_epoch):
-            t0 = time.time()
-            for batch in loader:
-                self.state, logs = self.step_fn(
-                    self.state,
-                    batch.imgs,
-                    batch.captions,
-                    batch.cap_lens,
-                    batch.class_ids,
+
+        def run_batches(batches):
+            """Dispatch a list of batches: one fused multistep when it
+            fills the unroll window, single steps otherwise."""
+            if len(batches) == self.unroll and self.unroll > 1:
+                put = lambda x: jax.device_put(np.stack(x),
+                                               self.stacked_sharding)
+                imgs = tuple(
+                    put([np.asarray(b.imgs[i]) for b in batches])
+                    for i in range(len(batches[0].imgs)))
+                self.state, logs = self.multistep_fn(
+                    self.state, imgs,
+                    put([np.asarray(b.captions) for b in batches]),
+                    put([np.asarray(b.cap_lens) for b in batches]),
+                    put([np.asarray(b.class_ids) for b in batches]),
                     rng,
                 )
-                gstep += 1
-                timer.tick(cfg.TRAIN.BATCH_SIZE)
-                if gstep % self.log_every == 0:
+                return len(batches), logs
+            logs = None
+            for b in batches:
+                self.state, logs = self.step_fn(
+                    self.state, b.imgs, b.captions, b.cap_lens,
+                    b.class_ids, rng,
+                )
+            return len(batches), logs
+
+        for epoch in range(self.start_epoch, max_epoch):
+            t0 = time.time()
+            pending = []
+            for batch in loader:
+                pending.append(batch)
+                if len(pending) < self.unroll:
+                    continue
+                n_done, logs = run_batches(pending)
+                pending = []
+                gstep += n_done
+                timer.tick(cfg.TRAIN.BATCH_SIZE * n_done)
+                if gstep % self.log_every < n_done:
                     logs = {k: float(v) for k, v in logs.items()}
                     d_str = " ".join(
                         f"errD{i}: {logs.get(f'errD{i}', 0.0):.2f}"
@@ -186,8 +219,12 @@ class GANTrainer:
                         f"{timer.ms_per_batch:.0f} ms/batch "
                         f"{timer.images_per_sec(cfg.TRAIN.BATCH_SIZE):.1f} img/s"
                     )
-                if gstep % self.image_every == 0:
+                if gstep % self.image_every < n_done:
                     self.save_img_results(batch, gstep)
+            if pending:
+                n_done, logs = run_batches(pending)
+                gstep += n_done
+                timer.tick(cfg.TRAIN.BATCH_SIZE * n_done)
             print(
                 f"[{epoch}/{max_epoch}] time: {time.time() - t0:.1f}s"
             )

@@ -25,15 +25,19 @@ from sba_gan_tpu.train import build_models, init_gan_state, make_gan_train_step
 
 
 def timed(step, state, args, n=10):
+    """Wall-clock per step with the fence INSIDE the window.
+
+    jax.block_until_ready does NOT block on this runtime (enqueue-rate
+    readings up to 26x too fast — see bench.py / CLAUDE.md); the host
+    value fetch of the last step's loss forces every prior step through
+    the state dependency chain and is the only honest fence."""
     state, logs = step(state, *args)
-    jax.block_until_ready(state.g.params)
+    float(logs["errG"])  # drain
     t0 = time.perf_counter()
     for _ in range(n):
         state, logs = step(state, *args)
-    jax.block_until_ready(state.g.params)
+    vals = {k: float(v) for k, v in logs.items()}  # fence, timed
     dt = (time.perf_counter() - t0) / n
-    # correctness fence: fetch values so async backend failures surface
-    vals = {k: float(v) for k, v in logs.items()}
     assert all(np.isfinite(v) for v in vals.values()), vals
     return dt
 

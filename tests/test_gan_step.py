@@ -207,3 +207,62 @@ def test_style_mixing_step(rng):
                            jax.random.PRNGKey(5))
     assert np.isfinite(float(logs["errG"]))
     assert np.isfinite(float(logs["errD2"]))
+
+
+def test_multistep_matches_sequential_steps():
+    """make_gan_train_multistep(K) must reproduce K sequential step() calls
+    exactly (same rng folding on state.step)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sba_gan_tpu.config import cfg_from_dict
+    from sba_gan_tpu.train import (
+        build_models,
+        init_gan_state,
+        make_gan_train_multistep,
+        make_gan_train_step,
+    )
+
+    cfg = cfg_from_dict({
+        "TREE": {"BRANCH_NUM": 1, "BASE_SIZE": 64},
+        "GAN": {"GF_DIM": 8, "DF_DIM": 8, "Z_DIM": 8, "W_DIM": 16,
+                "CONDITION_DIM": 8, "R_NUM": 1},
+        "TEXT": {"EMBEDDING_DIM": 32, "WORDS_NUM": 6},
+        "TRAIN": {"BATCH_SIZE": 2},
+        "MODEL": {"INCEPTION_INPUT": 75},
+    })
+    models = build_models(cfg, 50)
+    state_a = init_gan_state(cfg, models, jax.random.PRNGKey(0))
+    state_b = jax.tree.map(jnp.asarray, state_a)
+
+    k, b, t = 3, 2, 6
+    rng = np.random.default_rng(0)
+    imgs = (jnp.asarray(
+        rng.uniform(-1, 1, (k, b, 64, 64, 3)).astype(np.float32)),)
+    caps = np.zeros((k, b, t), np.int32)
+    lens = rng.integers(2, t + 1, (k, b)).astype(np.int32)
+    for i in range(k):
+        for j in range(b):
+            caps[i, j, :lens[i, j]] = rng.integers(1, 50, (lens[i, j],))
+    caps = jnp.asarray(caps)
+    lens = jnp.asarray(lens)
+    cids = jnp.asarray(rng.integers(0, 5, (k, b)).astype(np.int32))
+    key = jax.random.PRNGKey(1)
+
+    step = jax.jit(make_gan_train_step(cfg, models))
+    for i in range(k):
+        state_a, logs_a = step(state_a, (imgs[0][i],), caps[i], lens[i],
+                               cids[i], key)
+
+    multi = jax.jit(make_gan_train_multistep(cfg, models, k))
+    state_b, logs_b = multi(state_b, imgs, caps, lens, cids, key)
+
+    np.testing.assert_allclose(float(logs_a["errG"]), float(logs_b["errG"]),
+                               rtol=1e-5)
+    # scan vs unrolled compilations reassociate float reductions; parity
+    # is semantic (identical rng/data/update order), not bitwise
+    for a, c in zip(jax.tree_util.tree_leaves(state_a.g.params),
+                    jax.tree_util.tree_leaves(state_b.g.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=0, atol=1e-3)
