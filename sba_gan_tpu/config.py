@@ -156,6 +156,9 @@ def default_config() -> ConfigDict:
             },
             "JAX": {
                 "SEED": 100,
+                # '' keeps the preloaded backend; 'cpu'/'tpu' switch it via
+                # jax.config before first use (utils/platform.py).
+                "PLATFORM": "",
                 # compute dtype for conv/matmul-heavy modules; params stay f32.
                 "DTYPE": "float32",  # 'float32' | 'bfloat16'
                 "MESH_DATA": -1,  # -1: all devices on the data axis

@@ -31,7 +31,12 @@ def main():
     p.add_argument("--splits", type=int, default=10)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--size", type=int, default=299)
+    p.add_argument("--platform", default="",
+                   help="jax platform override: cpu | tpu ('' = preloaded)")
     args = p.parse_args()
+    from sba_gan_tpu.utils.platform import select_platform
+
+    select_platform(args.platform)
 
     from sba_gan_tpu.evaluation.inception_score import (
         InceptionV3Classifier,

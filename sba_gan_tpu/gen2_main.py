@@ -39,6 +39,8 @@ def parse_args():
     p.add_argument("--max_epoch", type=int, default=None)
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--manualSeed", type=int, default=100)
+    p.add_argument("--platform", default="",
+                   help="jax platform override: cpu | tpu ('' = preloaded)")
     p.add_argument("--bert_weights", default=None,
                    help="optional HF torch state dict to port into the "
                         "frozen text tower")
@@ -58,6 +60,9 @@ def synthetic_batches(batch: int, resolution: int, max_length: int,
 def main() -> None:
     args = parse_args()
     cfg = cfg_from_file(args.cfg) if args.cfg else default_config()
+    from sba_gan_tpu.utils.platform import select_platform
+
+    select_platform(args.platform or cfg.JAX.PLATFORM)
     if args.max_epoch is not None:
         cfg.TRAIN.MAX_EPOCH = args.max_epoch
     if args.batch is not None:

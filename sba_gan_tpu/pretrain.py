@@ -38,6 +38,8 @@ def parse_args():
     p.add_argument("--output_dir", type=str, default="")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--max_epoch", type=int, default=None)
+    p.add_argument("--platform", type=str, default="",
+                   help="jax platform override: cpu | tpu ('' = preloaded)")
     return p.parse_args()
 
 
@@ -127,6 +129,9 @@ def evaluate(trainer, state, loader, max_batches=50):
 def main():
     args = parse_args()
     cfg = cfg_from_file(args.cfg_file) if args.cfg_file else default_config()
+    from sba_gan_tpu.utils.platform import select_platform
+
+    select_platform(args.platform or cfg.JAX.PLATFORM)
     if args.data_dir:
         cfg.DATA_DIR = args.data_dir
     cfg.JAX.SEED = args.manualSeed

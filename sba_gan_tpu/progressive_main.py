@@ -70,6 +70,8 @@ def parse_args():
     p.add_argument("--eval_is_every", type=int, default=0)
     p.add_argument("--inception_weights", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default="",
+                   help="jax platform override: cpu | tpu ('' = preloaded)")
     return p.parse_args()
 
 
@@ -99,6 +101,9 @@ def build_data(args):
 
 def main():
     args = parse_args()
+    from sba_gan_tpu.utils.platform import select_platform
+
+    select_platform(args.platform)
     mkdir_p(args.output_dir)
     trainer = ProgressiveTrainer(
         z_dim=args.z_dim, w_dim=args.w_dim, max_resolution=args.max_size,
