@@ -201,12 +201,17 @@ def _default_tokenize(max_length: int) -> Callable[[str], np.ndarray]:
         # zero-egress fallback: deterministic hash vocabulary in the BERT id
         # range — same shapes/padding semantics, tokenization fidelity gated
         # on a locally cached tokenizer (as with datasets_bert, A6).
+        # crc32 (not built-in hash()) so the same word maps to the same id
+        # across processes: checkpoint resume / sampling in a later process
+        # must see the vocabulary training saw.
+        import zlib
+
         def hashed_ids(text: str) -> np.ndarray:
             words = text.lower().split()
             out = np.zeros(max_length, np.int32)
             n = min(len(words), max_length)
             for j in range(n):
-                out[j] = 1000 + (hash(words[j]) % 29000)
+                out[j] = 1000 + (zlib.crc32(words[j].encode("utf-8")) % 29000)
             return out
 
         return hashed_ids
@@ -242,7 +247,8 @@ class MultiResolutionDataset:
             txt = self.pack.get(f"txt-{i}-{str(index).zfill(5)}")
             if txt is not None:
                 return txt
-        return b"[CLS] [SEP]"
+        # empty caption: the caller adds the [CLS]/[SEP] wrapper
+        return b""
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         data = self.pack.get(f"{self.resolution}-{str(index).zfill(5)}")

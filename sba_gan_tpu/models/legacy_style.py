@@ -172,10 +172,20 @@ def progressive_schedule(
     step: int, phase_samples: int, batch_size: int,
     init_size: int = 8, max_size: int = 64,
 ) -> Tuple[int, float]:
-    """Gen-1's resolution + alpha fade schedule (Old_Code/train.py:142-183):
-    each resolution trains for `phase_samples` samples while alpha ramps
-    0 -> 1, then the resolution doubles.  Returns (resolution, alpha)."""
-    used = step * batch_size
+    """Gen-1's resolution + alpha fade schedule (Old_Code/train.py:142-183)
+    for a FIXED batch size.  Under a per-rung batch schedule use
+    :func:`progressive_schedule_samples` with the actual samples consumed
+    (the reference advances phases by ``used_sample += real_image.shape[0]``,
+    Old_Code/train.py:156)."""
+    return progressive_schedule_samples(
+        step * batch_size, phase_samples, init_size, max_size
+    )
+
+
+def progressive_schedule_samples(
+    used: int, phase_samples: int, init_size: int = 8, max_size: int = 64,
+) -> Tuple[int, float]:
+    """Resolution + alpha from the actual number of samples consumed."""
     n_phases = int(math.log2(max_size / init_size)) + 1
     phase = min(used // phase_samples, n_phases - 1)
     resolution = init_size * (2 ** phase)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sba_gan_tpu.data.pipeline import DataLoader
-from sba_gan_tpu.models.legacy_style import progressive_schedule
+from sba_gan_tpu.models.legacy_style import progressive_schedule_samples
 from sba_gan_tpu.train.progressive import ProgressiveTrainer
 from sba_gan_tpu.utils.checkpoint import Checkpointer
 from sba_gan_tpu.utils.image import make_grid, mkdir_p
@@ -97,6 +97,15 @@ def build_data(args):
 
     return TextImageDataset(args.data_dir, split="train",
                             base_size=args.max_size, branch_num=1)
+
+
+def _write_used_samples(path: str, used: int) -> None:
+    try:
+        mkdir_p(os.path.dirname(path))
+        with open(path, "w") as f:
+            f.write(str(used))
+    except OSError:
+        pass
 
 
 def main():
@@ -193,8 +202,19 @@ def main():
 
     gstep = int(state.step)
     cur_batch = args.batch
-    cur_res, _ = progressive_schedule(
-        gstep, args.phase, args.batch, args.init_size, args.max_size)
+    # phase pacing follows ACTUAL samples consumed (Old_Code/train.py:156
+    # used_sample += real_image.shape[0]) — under --sched the per-rung batch
+    # differs from args.batch.  Persisted in a sidecar so resume keeps the
+    # pacing exact.
+    used_samples = gstep * args.batch
+    used_path = os.path.join(args.output_dir, "Model", "used_samples.txt")
+    if gstep and os.path.isfile(used_path):
+        try:
+            used_samples = int(open(used_path).read().strip())
+        except (ValueError, OSError):
+            pass
+    cur_res, _ = progressive_schedule_samples(
+        used_samples, args.phase, args.init_size, args.max_size)
     if args.sched:
         state = trainer.with_lr(state, SCHED_LR.get(cur_res, 1e-4),
                                 SCHED_LR.get(cur_res, 4e-4))
@@ -208,8 +228,8 @@ def main():
     g_loss = float("nan")  # no G update yet (n_critic schedule)
     n_blocks = trainer.generator.n_blocks()
     while gstep < args.steps:
-        res, alpha = progressive_schedule(
-            gstep, args.phase, args.batch, args.init_size, args.max_size
+        res, alpha = progressive_schedule_samples(
+            used_samples, args.phase, args.init_size, args.max_size
         )
         res_step = min(int(np.log2(res // 4)), n_blocks - 1)
         if res != cur_res:
@@ -248,6 +268,7 @@ def main():
         d_step, g_step = trainer.steps_for(res_step)
         state, d_loss = d_step(state, real, sent, jnp.float32(alpha), rng)
         gstep = int(state.step)
+        used_samples += int(real.shape[0])
         if gstep % args.n_critic == 0:
             state, g_loss = g_step(state, sent, jnp.float32(alpha), rng, real)
         if gstep % 100 == 0:
@@ -288,7 +309,9 @@ def main():
                   flush=True)
         if gstep % args.ckpt_every == 0:
             ckpt.save(gstep, state)
+            _write_used_samples(used_path, used_samples)
     ckpt.save(gstep, state, wait=True)
+    _write_used_samples(used_path, used_samples)
     print("done")
 
 

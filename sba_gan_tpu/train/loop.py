@@ -206,7 +206,7 @@ class GANTrainer:
                 n_done, logs = run_batches(pending)
                 pending = []
                 gstep += n_done
-                timer.tick(cfg.TRAIN.BATCH_SIZE * n_done)
+                timer.tick(cfg.TRAIN.BATCH_SIZE * n_done, n_batches=n_done)
                 if gstep % self.log_every < n_done:
                     logs = {k: float(v) for k, v in logs.items()}
                     d_str = " ".join(
@@ -217,14 +217,14 @@ class GANTrainer:
                         f"[{epoch}][{gstep}] {d_str} errG: {logs['errG']:.2f} "
                         f"kl: {logs['kl_loss']:.4f} | "
                         f"{timer.ms_per_batch:.0f} ms/batch "
-                        f"{timer.images_per_sec(cfg.TRAIN.BATCH_SIZE):.1f} img/s"
+                        f"{timer.images_per_sec():.1f} img/s"
                     )
                 if gstep % self.image_every < n_done:
                     self.save_img_results(batch, gstep)
             if pending:
                 n_done, logs = run_batches(pending)
                 gstep += n_done
-                timer.tick(cfg.TRAIN.BATCH_SIZE * n_done)
+                timer.tick(cfg.TRAIN.BATCH_SIZE * n_done, n_batches=n_done)
             print(
                 f"[{epoch}/{max_epoch}] time: {time.time() - t0:.1f}s"
             )

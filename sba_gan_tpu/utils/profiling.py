@@ -28,20 +28,26 @@ class StepTimer:
     def __init__(self, window: int = 50):
         self.window = window
         self._start: Optional[float] = None
-        self._count = 0
+        self._count = 0.0
+        self._images = 0.0
         self._elapsed = 0.0
 
-    def tick(self, batch_size: int = 0) -> None:
+    def tick(self, batch_size: int = 0, n_batches: int = 1) -> None:
+        """Record one dispatch covering ``n_batches`` train steps and
+        ``batch_size`` total images (a fused K-step dispatch under
+        JAX.TRAIN_UNROLL passes n_batches=K so ms/batch stays per-step)."""
         now = time.perf_counter()
         if self._start is not None:
             self._elapsed += now - self._start
-            self._count += 1
+            self._count += n_batches
+            self._images += batch_size
             if self._count > self.window:
                 # decay toward the window (rolling average)
-                self._elapsed *= self.window / self._count
+                scale = self.window / self._count
+                self._elapsed *= scale
+                self._images *= scale
                 self._count = self.window
         self._start = now
-        self._batch = batch_size
 
     @property
     def ms_per_batch(self) -> float:
@@ -49,9 +55,13 @@ class StepTimer:
             return float("nan")
         return 1000.0 * self._elapsed / self._count
 
-    def images_per_sec(self, batch_size: int) -> float:
+    def images_per_sec(self, batch_size: Optional[int] = None) -> float:
+        """Throughput; with no argument, uses the image counts passed to
+        tick() (correct under multi-step dispatch)."""
         if self._elapsed == 0:
             return float("nan")
+        if batch_size is None:
+            return self._images / self._elapsed
         return batch_size * self._count / self._elapsed
 
     def loss_line(self, step: int, logs: Dict[str, float],
