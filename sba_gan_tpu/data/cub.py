@@ -88,7 +88,13 @@ class TextImageDataset:
         self.words_num = words_num
         self.embeddings_num = captions_per_image
         self.b_dcgan = b_dcgan
-        self.rng = np.random.default_rng(seed)
+        # augmentation randomness is derived per (seed, epoch, index) in
+        # __getitem__ — no shared RNG state, so N-worker fetches are
+        # thread-safe and deterministic regardless of completion order
+        # (the torch DataLoader gets this from per-worker seeding,
+        # AttnGAN2/code/main.py:131-133).
+        self._seed = seed
+        self._epoch = 0
         self.train_mode = split == "train"
 
         self.imsize = [base_size * (2 ** i) for i in range(branch_num)]
@@ -122,6 +128,13 @@ class TextImageDataset:
     def __len__(self):
         return len(self.filenames)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the per-epoch augmentation stream (called by DataLoader)."""
+        self._epoch = int(epoch)
+
+    def _item_rng(self, index: int) -> np.random.Generator:
+        return np.random.default_rng([self._seed, self._epoch, index])
+
     def _image_path(self, key: str) -> str:
         if self.bbox is not None:
             return os.path.join(
@@ -129,7 +142,7 @@ class TextImageDataset:
             )
         return os.path.join(self.data_dir, "images", key + ".jpg")
 
-    def _load_native(self, key: str):
+    def _load_native(self, key: str, rng: np.random.Generator):
         """Speed-mode pixel path: geometry computed here, decode/crop/resize
         in C++ (sba_gan_tpu/native/sba_loader.cpp)."""
         path = self._image_path(key)
@@ -151,9 +164,9 @@ class TextImageDataset:
         else:
             new_w, new_h = max(1, int(round(target * w / h))), target
         if self.train_mode:
-            x = int(self.rng.integers(0, new_w - final + 1))
-            y = int(self.rng.integers(0, new_h - final + 1))
-            hflip = bool(self.rng.random() < 0.5)
+            x = int(rng.integers(0, new_w - final + 1))
+            y = int(rng.integers(0, new_h - final + 1))
+            hflip = bool(rng.random() < 0.5)
         else:
             x, y = (new_w - final) // 2, (new_h - final) // 2
             hflip = False
@@ -166,15 +179,16 @@ class TextImageDataset:
     def __getitem__(self, index: int):
         key = self.filenames[index]
         path = self._image_path(key)
+        rng = self._item_rng(index)
         if self._native is not None and path.lower().endswith((".jpg", ".jpeg")):
-            imgs = self._load_native(key)
+            imgs = self._load_native(key, rng)
         else:
             img = Image.open(path).convert("RGB")
             if self.bbox is not None:
                 img = T.bbox_crop(img, self.bbox[key])
             final_size = self.imsize[-1]
             if self.train_mode:
-                img = T.train_transform(img, final_size, self.rng)
+                img = T.train_transform(img, final_size, rng)
             else:
                 img = T.eval_transform(img, final_size)
             if self.b_dcgan:
@@ -183,10 +197,10 @@ class TextImageDataset:
                 imgs = T.multiscale_branches(img, self.imsize)
 
         # random 1-of-N caption (reference __getitem__, datasets.py:314-317)
-        sent_ix = int(self.rng.integers(0, self.embeddings_num))
+        sent_ix = int(rng.integers(0, self.embeddings_num))
         new_sent_ix = index * self.embeddings_num + sent_ix
         caps, cap_len = pad_caption(
-            self.captions[new_sent_ix], self.words_num, self.rng
+            self.captions[new_sent_ix], self.words_num, rng
         )
         return imgs, caps, cap_len, int(self.class_id[index]), key
 

@@ -5,8 +5,14 @@ Replaces the reference's torch DataLoader + `prepare_data`
 
 * **no sort-by-length** — the masked encoders make packing unnecessary, so
   batches keep input order at static shape (SURVEY.md build plan §1);
-* worker threads overlap host preprocessing with device compute
-  (the torch analogue is ``num_workers``, cfg.WORKERS);
+* ``num_workers`` threads decode samples concurrently (PIL JPEG decode and
+  the native C++ loader both release the GIL), overlapping host
+  preprocessing with device compute — the analogue of the reference's
+  ``DataLoader(num_workers=cfg.WORKERS)`` worker processes
+  (AttnGAN2/code/main.py:131-133);
+* sample augmentation randomness comes from the dataset's per-(epoch,index)
+  streams, so batches are bit-identical for any worker count or completion
+  order;
 * batches are device_put with an explicit data-parallel sharding when a mesh
   is supplied, so each host feeds only its addressable shard.
 """
@@ -15,6 +21,8 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, NamedTuple, Optional
 
 import jax
@@ -30,12 +38,15 @@ class Batch(NamedTuple):
 
 
 def collate(samples) -> Batch:
+    # astype(copy=False): a no-op cast on this host's numpy is a ~250x
+    # slower element loop than memcpy (11s for a stacked 128x256x256x3
+    # batch), so never copy when the dtype already matches.
     n_branches = len(samples[0][0])
     imgs = tuple(
-        np.stack([s[0][b] for s in samples]).astype(np.float32)
+        np.stack([s[0][b] for s in samples]).astype(np.float32, copy=False)
         for b in range(n_branches)
     )
-    captions = np.stack([s[1] for s in samples]).astype(np.int32)
+    captions = np.stack([s[1] for s in samples]).astype(np.int32, copy=False)
     cap_lens = np.asarray([s[2] for s in samples], dtype=np.int32)
     class_ids = np.asarray([s[3] for s in samples], dtype=np.int32)
     keys = tuple(s[4] for s in samples)
@@ -65,6 +76,7 @@ class DataLoader:
         self.sharding = sharding
         self.prefetch = prefetch
         self._rng = np.random.default_rng(seed)
+        self._epoch = 0
 
     def __len__(self):
         n = len(self.dataset)
@@ -80,22 +92,27 @@ class DataLoader:
         for i in range(nb):
             yield order[i * self.batch_size : (i + 1) * self.batch_size]
 
+    def _to_device(self, batch: Batch) -> Batch:
+        if self.sharding is None:
+            return batch
+        imgs = tuple(jax.device_put(x, self.sharding) for x in batch.imgs)
+        return Batch(
+            imgs,
+            jax.device_put(batch.captions, self.sharding),
+            jax.device_put(batch.cap_lens, self.sharding),
+            jax.device_put(batch.class_ids, self.sharding),
+            batch.keys,
+        )
+
     def _make_batch(self, idxs) -> Batch:
-        batch = collate([self.dataset[int(i)] for i in idxs])
-        if self.sharding is not None:
-            imgs = tuple(
-                jax.device_put(x, self.sharding) for x in batch.imgs
-            )
-            return Batch(
-                imgs,
-                jax.device_put(batch.captions, self.sharding),
-                jax.device_put(batch.cap_lens, self.sharding),
-                jax.device_put(batch.class_ids, self.sharding),
-                batch.keys,
-            )
-        return batch
+        return self._to_device(
+            collate([self.dataset[int(i)] for i in idxs])
+        )
 
     def __iter__(self) -> Iterator[Batch]:
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._epoch)
+        self._epoch += 1
         if self.num_workers == 0:
             for idxs in self._batch_indices():
                 yield self._make_batch(idxs)
@@ -103,21 +120,62 @@ class DataLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+        getitem = self.dataset.__getitem__
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    pass
+            return False
 
         def producer():
+            # N workers fetch samples; a sliding window keeps up to
+            # prefetch+1 batches in flight while batches are collated and
+            # emitted strictly in order.  `stop` lets an abandoned iterator
+            # tear the pool down instead of leaking busy threads.
+            pool = ThreadPoolExecutor(self.num_workers)
             try:
+                window: deque = deque()
+
+                def finish(futs) -> bool:
+                    return put(self._to_device(
+                        collate([f.result() for f in futs])
+                    ))
+
                 for idxs in self._batch_indices():
-                    q.put(self._make_batch(idxs))
+                    if stop.is_set():
+                        return
+                    window.append(
+                        [pool.submit(getitem, int(i)) for i in idxs]
+                    )
+                    while len(window) > max(1, self.prefetch):
+                        if not finish(window.popleft()):
+                            return
+                while window:
+                    if not finish(window.popleft()):
+                        return
+            except BaseException as e:  # surfaced in the consumer
+                put(e)
             finally:
-                q.put(sentinel)
+                pool.shutdown(wait=False, cancel_futures=True)
+                put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
 
 def data_sharding(mesh: jax.sharding.Mesh) -> jax.sharding.NamedSharding:

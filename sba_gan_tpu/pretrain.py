@@ -164,7 +164,7 @@ def main():
 
     train_loader = DataLoader(
         train_ds, cfg.TRAIN.BATCH_SIZE, shuffle=True, drop_last=True,
-        seed=cfg.JAX.SEED, num_workers=min(2, cfg.WORKERS), sharding=bsh,
+        seed=cfg.JAX.SEED, num_workers=cfg.WORKERS, sharding=bsh,
     )
     val_loader = DataLoader(
         val_ds, cfg.TRAIN.BATCH_SIZE, shuffle=False, drop_last=True,

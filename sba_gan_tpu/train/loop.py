@@ -164,7 +164,7 @@ class GANTrainer:
             shuffle=True,
             drop_last=True,
             seed=cfg.JAX.SEED,
-            num_workers=min(2, cfg.WORKERS),
+            num_workers=cfg.WORKERS,
             sharding=self.batch_sharding,
         )
         rng = jax.random.PRNGKey(cfg.JAX.SEED + 1)
@@ -268,7 +268,7 @@ class GANTrainer:
             cfg.TRAIN.BATCH_SIZE,
             shuffle=False,
             drop_last=False,
-            num_workers=min(2, cfg.WORKERS),
+            num_workers=cfg.WORKERS,
         )
         cnt = 0
         for r in range(rounds):
