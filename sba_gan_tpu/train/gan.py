@@ -182,7 +182,9 @@ def make_gan_train_step(cfg, models: GANModels, mesh=None):
     With a mesh whose ``model`` axis is > 1, the DAMSM encoder activations
     get tensor-parallel sharding constraints (parallel.tensor_constraint):
     GSPMD shards the Inception channel dimension over 'model' and the batch
-    over 'data' — DP x TP over one jitted program.
+    over 'data' — DP x TP over one jitted program (validated end to end by
+    tests/test_tensor_parallel.py::test_full_gan_step_dp_tp on a (4,2)
+    virtual-CPU mesh).
     """
     from sba_gan_tpu.parallel import tensor_constraint
 

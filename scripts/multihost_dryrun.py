@@ -17,7 +17,7 @@ import subprocess
 import sys
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
-PORT = 12355
+PORT = int(os.environ.get("SBA_MULTIHOST_PORT", "12355"))
 N_PROC = 2
 DEV_PER_PROC = 2
 
@@ -62,6 +62,36 @@ def worker(rank: int) -> None:
     expect = 4.0 * DEV_PER_PROC * sum(r + 1 for r in range(N_PROC))
     assert total == expect, (total, expect)
     print(f"rank {rank}: global sum {total} OK", flush=True)
+
+    # training-shaped step: value_and_grad over the globally-sharded batch
+    # + sgd update on replicated params — the gradient mean is a
+    # cross-process reduction XLA inserts over DCN, and every rank must
+    # hold identical updated params (the data-parallel invariant).
+    from sba_gan_tpu.parallel import replicated
+
+    w = jax.device_put(jnp.arange(4, dtype=jnp.float32), replicated(mesh))
+
+    @jax.jit
+    def sgd(w, batch):
+        def loss(w):
+            pred = batch @ w
+            return jnp.mean(pred ** 2)
+
+        l, g = jax.value_and_grad(loss)(w)
+        return w - 0.1 * g, l
+
+    w2, l = sgd(w, x)
+    w2_host = np.asarray(jax.device_get(w2))
+    # closed form: batch rows are constant per rank; loss/grad are global
+    rows = np.concatenate(
+        [np.full((DEV_PER_PROC, 4), r + 1.0) for r in range(N_PROC)]
+    ).astype(np.float32)
+    w0 = np.arange(4, dtype=np.float32)
+    pred = rows @ w0
+    g_ref = (2.0 / rows.shape[0]) * rows.T @ pred
+    np.testing.assert_allclose(w2_host, w0 - 0.1 * g_ref, rtol=1e-5,
+                               atol=1e-6)
+    print(f"rank {rank}: global sgd step OK (loss {float(l):.3f})", flush=True)
 
 
 def main() -> None:

@@ -127,6 +127,57 @@ def test_step_sharded_over_mesh(setup, rng, cpu_devices):
         assert np.isfinite(float(v)), f"{k} not finite under mesh: {v}"
 
 
+def test_sharded_step_matches_unsharded(setup, rng, cpu_devices):
+    """Numerical SPMD invariant (VERDICT round 1, next #5): one train step
+    on a single device equals the same step with the batch sharded over the
+    8-device data axis — same losses, same updated params.  This pins the
+    global (sync) BatchNorm claim: sharded-batch mean/var reductions inside
+    jit are global, so statistics match the unsharded full batch."""
+    cfg, models, state = setup
+    step = make_gan_train_step(cfg, models)
+    imgs, captions, cap_lens, class_ids = make_batch(cfg, rng, 8)
+    key = jax.random.PRNGKey(7)
+
+    ref_state, ref_logs = jax.jit(step)(
+        state, imgs, captions, cap_lens, class_ids, key
+    )
+
+    mesh = make_mesh(cfg)
+    bsh, rsh = batch_sharding(mesh), replicated(mesh)
+    sh_state, sh_logs = jax.jit(step)(
+        jax.device_put(state, rsh),
+        tuple(jax.device_put(x, bsh) for x in imgs),
+        jax.device_put(captions, bsh),
+        jax.device_put(cap_lens, bsh),
+        jax.device_put(class_ids, bsh),
+        key,
+    )
+
+    for k in ref_logs:
+        np.testing.assert_allclose(
+            float(sh_logs[k]), float(ref_logs[k]), rtol=1e-3, atol=1e-4,
+            err_msg=f"log {k} diverges under sharding",
+        )
+    for name, ref_tree, sh_tree in [
+        ("g.params", ref_state.g.params, sh_state.g.params),
+        ("g.batch_stats", ref_state.g.batch_stats, sh_state.g.batch_stats),
+    ] + [
+        (f"ds[{i}].params", r.params, s.params)
+        for i, (r, s) in enumerate(zip(ref_state.ds, sh_state.ds))
+    ]:
+        for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(ref_tree)[0][0:],
+            jax.tree_util.tree_flatten_with_path(sh_tree)[0][0:],
+        ):
+            # atol 5e-4: Adam normalizes grads, so a reduction-order float
+            # wiggle on a near-zero grad can flip an element's full
+            # +-lr*update (lr 2e-4); real desync diverges far beyond this.
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-4,
+                err_msg=f"{name}{jax.tree_util.keystr(path)} diverges",
+            )
+
+
 def test_sample_fn(setup, rng):
     cfg, models, state = setup
     sample = jax.jit(make_sample_fn(cfg, models))
