@@ -288,7 +288,7 @@ class TextOnlyDataset:
             if txt is not None:
                 break
         else:
-            txt = b"[CLS] [SEP]"
+            txt = b""  # caller adds the [CLS]/[SEP] wrapper
         text = ("[CLS] " + txt.decode("utf-8").replace("��", " ")
                 + " [SEP]")
         return self.tokenize(text).astype(np.int32)

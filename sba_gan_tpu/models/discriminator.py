@@ -63,10 +63,10 @@ class DGetLogits(nn.Module):
     @nn.compact
     def __call__(self, h_code, c_code=None, train: bool = True):
         if self.bcondition and c_code is not None:
-            b = h_code.shape[0]
+            b, s_h, s_w = h_code.shape[:3]
             c = jnp.broadcast_to(
                 c_code[:, None, None, :].astype(h_code.dtype),
-                (b, 4, 4, c_code.shape[-1]),
+                (b, s_h, s_w, c_code.shape[-1]),
             )
             h_c = jnp.concatenate([h_code, c], axis=-1)
             h_c = Block3x3LeakRelu(self.ndf * 8, dtype=self.dtype)(h_c, train)

@@ -1,0 +1,98 @@
+"""One-command reference reproduction harness (VERDICT round 1, next #7):
+fabricated reference-layout netG .pth -> reproduce CLI -> samples + IS.
+
+Golden-layout gate: the .pth is written by torch.save with the EXACT key
+layout the reference's resume path produces (AttnGAN2/code/trainer.py:
+105-122 loads netG state_dict; key names enumerated by the port inverse in
+test_g_net_port).  The harness must import it, sample the test split, and
+compute an Inception Score — the full path that unblocks the moment real
+released weights are supplied.
+"""
+
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sba_gan_tpu.config import cfg_from_dict
+from sba_gan_tpu.models.generator import build_generator
+
+from test_g_net_port import _flatten, _to_torch, _torch_name
+
+TINY = {
+    "GAN": {"GF_DIM": 4, "DF_DIM": 8, "Z_DIM": 8, "W_DIM": 16,
+            "CONDITION_DIM": 8, "R_NUM": 2},
+    "TEXT": {"EMBEDDING_DIM": 16, "WORDS_NUM": 5},
+    "TREE": {"BRANCH_NUM": 2, "BASE_SIZE": 64},
+    "MODEL": {"INCEPTION_INPUT": 75},
+    "TRAIN": {"FLAG": False, "BATCH_SIZE": 4},
+    "B_VALIDATION": True,
+}
+
+
+def _fabricate_net_g(path: str) -> None:
+    torch = pytest.importorskip("torch")
+    cfg = cfg_from_dict(TINY)
+    g = build_generator(cfg)
+    v = g.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 8)), jnp.zeros((2, 16)),
+        jnp.zeros((2, 5, 16)), jnp.zeros((2, 5), bool),
+        jax.random.PRNGKey(1), True,
+    )
+    sd = {}
+    for p, val in _flatten(v["params"]).items():
+        name, kind = _torch_name(p)
+        sd[name] = torch.from_numpy(
+            np.asarray(_to_torch(np.asarray(val), kind, p[-1])).copy())
+    for p, val in _flatten(v["batch_stats"]).items():
+        name, _ = _torch_name(p)
+        sd[name] = torch.from_numpy(np.asarray(val).copy())
+    torch.save(sd, path)
+
+
+def test_reproduce_end_to_end(tmp_path, monkeypatch):
+    import yaml
+
+    cfg_path = tmp_path / "tiny_eval.yml"
+    cfg_path.write_text(yaml.safe_dump(
+        {**TINY, "CONFIG_NAME": "tiny_eval", "DATASET_NAME": "birds"}))
+    net_g = tmp_path / "netG_epoch_600.pth"
+    _fabricate_net_g(str(net_g))
+    out = tmp_path / "out"
+
+    from sba_gan_tpu import reproduce
+
+    monkeypatch.setattr(sys, "argv", [
+        "reproduce", "--cfg", str(cfg_path), "--synthetic",
+        "--net_g", str(net_g), "--output_dir", str(out),
+        "--splits", "2", "--is_size", "75",
+    ])
+    reproduce.main()
+
+    sample_dir = out / "valid" / "single"
+    pngs = [p for p in os.listdir(sample_dir) if p.endswith("_s-1.png")]
+    assert len(pngs) >= 4, pngs
+
+
+def test_reproduce_skip_is_without_checkpoints(tmp_path, monkeypatch, capsys):
+    import yaml
+
+    cfg_path = tmp_path / "tiny_eval.yml"
+    cfg_path.write_text(yaml.safe_dump(
+        {**TINY, "CONFIG_NAME": "tiny_eval", "DATASET_NAME": "birds"}))
+    out = tmp_path / "out2"
+
+    from sba_gan_tpu import reproduce
+
+    monkeypatch.setattr(sys, "argv", [
+        "reproduce", "--cfg", str(cfg_path), "--synthetic",
+        "--output_dir", str(out), "--skip_is",
+    ])
+    reproduce.main()
+    tail = capsys.readouterr().out.strip().splitlines()[-1]
+    result = json.loads(tail)
+    assert os.path.isdir(result["samples_dir"])
