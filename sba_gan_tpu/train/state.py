@@ -54,7 +54,17 @@ def make_gan_adam(lr: float, grad_accum: int = 1):
     lr 2e-4, betas (0.5, 0.999).  grad_accum > 1 wraps the optimizer in
     optax.MultiSteps — micro-batches accumulate and the update applies every
     `grad_accum` steps, keeping the reference's small effective batch when
-    data parallelism multiplies the global batch (SURVEY.md hard-part #6)."""
+    data parallelism multiplies the global batch (SURVEY.md hard-part #6).
+
+    deviation: within an accumulation window the GAN dynamics differ from
+    the reference's per-batch alternation — D params are FROZEN during
+    micro-steps (updates apply every k-th step), so G's update inside a
+    window sees the window-start Ds rather than freshly-updated ones, and
+    the EMA keeps folding in unchanged params (a no-op numerically, but the
+    EMA 'age' advances).  Equivalent to the reference only at
+    GRAD_ACCUM=1; with accumulation it is large-batch adversarial training
+    with the reference's *effective* batch, not a replay of its small-batch
+    schedule."""
     tx = optax.adam(lr, b1=0.5, b2=0.999, eps=1e-8)
     if grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)

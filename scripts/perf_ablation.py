@@ -112,3 +112,18 @@ if __name__ == "__main__":
     elif which == "rematg256":
         run("b256_rematg_chunks8", 256, 5.0, remat=True, chunks=8,
             remat_g=True)
+    elif which == "one":
+        # generic single-config CLI:
+        #   perf_ablation.py one NAME BATCH [remat] [rematg] [pallas]
+        #                    [chunks=N] [grid=N] [lossf32]
+        name, b = sys.argv[2], int(sys.argv[3])
+        flags = set(sys.argv[4:])
+        kw = dict(remat="remat" in flags, remat_g="rematg" in flags,
+                  use_pallas="pallas" in flags,
+                  loss_dtype="float32" if "lossf32" in flags else "bfloat16")
+        for f in flags:
+            if f.startswith("chunks="):
+                kw["chunks"] = int(f.split("=")[1])
+            if f.startswith("grid="):
+                kw["grid_chunks"] = int(f.split("=")[1])
+        run(name, b, 5.0, **kw)

@@ -1,0 +1,154 @@
+"""Decompose the flagship train step's 310 ms (b128) into its time sinks.
+
+The tunnel runtime makes jax.profiler traces unreliable (and
+block_until_ready does not fence — CLAUDE.md), so the breakdown is
+measured directly: each component program runs ALONE in a fresh process
+with the honest value-fetch fence, and the full-step time minus component
+times names the sinks.
+
+MEASUREMENT RULE: one mode per process (HBM spill hazard — see
+perf_ablation.py).  Modes:
+
+    python scripts/perf_breakdown.py inception 128    # frozen encode fwd
+    python scripts/perf_breakdown.py inception_vjp 128# encode fwd+grad
+    python scripts/perf_breakdown.py gfwd 128         # generator forward
+    python scripts/perf_breakdown.py gvjp 128         # generator fwd+vjp
+    python scripts/perf_breakdown.py dsteps 128       # 3 D updates only
+    python scripts/perf_breakdown.py text 128         # bi-LSTM encode
+    python scripts/perf_breakdown.py nodamsm 128      # full step, LAMBDA=0
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sba_gan_tpu.config import cfg_from_dict
+from sba_gan_tpu.train import build_models, init_gan_state, make_gan_train_step
+
+
+def flagship_cfg(lam=5.0, remat=True, chunks=4):
+    return cfg_from_dict(
+        {
+            "TREE": {"BRANCH_NUM": 3},
+            "GAN": {"GF_DIM": 32, "DF_DIM": 64, "Z_DIM": 100, "R_NUM": 2},
+            "TEXT": {"EMBEDDING_DIM": 256, "WORDS_NUM": 18},
+            "TRAIN": {"BATCH_SIZE": 128,
+                      "SMOOTH": {"GAMMA1": 4.0, "GAMMA2": 5.0,
+                                 "GAMMA3": 10.0, "LAMBDA": lam}},
+            "JAX": {"DTYPE": "bfloat16", "REMAT_IMAGE_ENCODER": remat,
+                    "DAMSM_CHUNKS": chunks, "LOSS_DTYPE": "bfloat16"},
+        }
+    )
+
+
+def fence_timed(fn, args, n=10, fetch=None):
+    """fetch(out) -> float scalar pulled INSIDE the window (the fence)."""
+    out = fn(*args)
+    (fetch or (lambda o: float(jnp.sum(o[0] if isinstance(o, tuple) else o))))(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    v = (fetch or (lambda o: float(jnp.sum(o[0] if isinstance(o, tuple) else o))))(out)
+    dt = (time.perf_counter() - t0) / n
+    assert np.isfinite(v), v
+    return dt
+
+
+def main():
+    mode, b = sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    cfg = flagship_cfg(lam=0.0 if mode == "nodamsm" else 5.0)
+    models = build_models(cfg, 5450)
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+
+    if mode in ("inception", "inception_vjp"):
+        enc = models.image_encoder
+        variables = enc.init(key, jnp.zeros((2, 64, 64, 3)), False)
+        img = jnp.asarray(
+            rng.uniform(-1, 1, (b, 256, 256, 3)).astype(np.float32))
+
+        if mode == "inception":
+            f = jax.jit(lambda v, x: enc.apply(v, x, False))
+            dt = fence_timed(f, (variables, img),
+                             fetch=lambda o: float(jnp.sum(o[1])))
+        else:
+            def loss(x):
+                region, code = enc.apply(variables, x, False)
+                return jnp.sum(region.astype(jnp.float32)) + jnp.sum(
+                    code.astype(jnp.float32))
+
+            f = jax.jit(jax.grad(loss))
+            dt = fence_timed(f, (img,),
+                             fetch=lambda o: float(jnp.sum(o)))
+    elif mode in ("gfwd", "gvjp"):
+        state = init_gan_state(cfg, models, key)
+        gen = models.generator
+        g_vars = {"params": state.g.params,
+                  "batch_stats": state.g.batch_stats}
+        t = cfg.TEXT.WORDS_NUM
+        sent = jnp.asarray(rng.standard_normal((b, 256)).astype(np.float32))
+        words = jnp.asarray(
+            rng.standard_normal((b, t, 256)).astype(np.float32))
+        mask = jnp.zeros((b, t), bool)
+        z = jnp.asarray(rng.standard_normal((b, 100)).astype(np.float32))
+
+        def fwd(z, sent, words):
+            fakes, att, mu, logvar = gen.apply(
+                g_vars, z, sent, words, mask, key, True,
+                mutable=["batch_stats"])[0]
+            return sum(jnp.sum(f.astype(jnp.float32)) for f in fakes)
+
+        if mode == "gfwd":
+            f = jax.jit(fwd)
+            dt = fence_timed(f, (z, sent, words), fetch=lambda o: float(o))
+        else:
+            f = jax.jit(jax.grad(fwd, argnums=(1, 2)))
+            dt = fence_timed(f, (z, sent, words),
+                             fetch=lambda o: float(jnp.sum(o[0])))
+    elif mode == "text":
+        state = init_gan_state(cfg, models, key)
+        te = models.text_encoder
+        t = cfg.TEXT.WORDS_NUM
+        caps = np.zeros((b, t), np.int32)
+        lens = rng.integers(4, t + 1, (b,)).astype(np.int32)
+        for i, l in enumerate(lens):
+            caps[i, :l] = rng.integers(1, 5450, (l,))
+        f = jax.jit(lambda c, l: te.apply(state.text, c, l, train=False))
+        dt = fence_timed(f, (jnp.asarray(caps), jnp.asarray(lens)),
+                         fetch=lambda o: float(jnp.sum(o[1])))
+    elif mode in ("dsteps", "nodamsm"):
+        # full step; for dsteps the proxy is nodamsm-vs-full decomposition
+        state = init_gan_state(cfg, models, key)
+        step = jax.jit(make_gan_train_step(cfg, models))
+        t = cfg.TEXT.WORDS_NUM
+        imgs = tuple(
+            jnp.asarray(rng.uniform(-1, 1, (b, 64 * 2 ** i, 64 * 2 ** i, 3))
+                        .astype(np.float32))
+            for i in range(3)
+        )
+        caps = np.zeros((b, t), np.int32)
+        lens = rng.integers(4, t + 1, (b,)).astype(np.int32)
+        for i, l in enumerate(lens):
+            caps[i, :l] = rng.integers(1, 5450, (l,))
+        cls = rng.integers(0, 200, (b,)).astype(np.int32)
+        args = (state, imgs, jnp.asarray(caps), jnp.asarray(lens),
+                jnp.asarray(cls), key)
+
+        def fetch(o):
+            return float(o[1]["errG"])
+
+        dt = fence_timed(step, args, fetch=fetch)
+    else:
+        raise SystemExit(f"unknown mode {mode}")
+
+    print(f"{mode}: batch={b} {dt * 1000:.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -96,6 +96,11 @@ def test_gen_example_mixing_variants(tmp_path):
 
 
 def test_build_super_images_shape():
+    """Reference layout (miscc/utils.py:54-176): per sample a
+    [FONT_MAX caption band / raw-map row / overlay row] block; columns =
+    image, max-over-words, then one per word."""
+    from sba_gan_tpu.utils.viz import FONT_MAX, PAD
+
     rng = np.random.default_rng(0)
     imgs = rng.uniform(-1, 1, (3, 64, 64, 3)).astype(np.float32)
     caps = np.zeros((3, 5), np.int64)
@@ -103,8 +108,54 @@ def test_build_super_images_shape():
     attn = rng.uniform(0, 1, (3, 8, 8, 5)).astype(np.float32)
     grid = build_super_images(imgs, caps, {i: f"w{i}" for i in range(10)}, attn)
     assert grid.dtype == np.uint8
-    assert grid.shape[0] == 3 * (64 + 16 + 2)
-    assert grid.shape[1] == 6 * (64 + 2)
+    assert grid.shape[0] == 3 * (FONT_MAX + 2 * 64)
+    assert grid.shape[1] == (5 + 2) * (64 + PAD)
+
+
+def test_build_super_images_word_colors():
+    """Caption bands carry the reference per-word palette (COLOR_DIC)."""
+    from sba_gan_tpu.utils.viz import COLOR_DIC, PAD
+
+    rng = np.random.default_rng(1)
+    imgs = rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
+    caps = np.zeros((1, 4), np.int64)
+    caps[0, :2] = [3, 5]
+    attn = rng.uniform(0, 1, (1, 4, 4, 4)).astype(np.float32)
+    grid = build_super_images(imgs, caps, {i: f"w{i}" for i in range(10)},
+                              attn)
+    cell_w = 32 + PAD
+    # word 0's band cell (column 2) is COLOR_DIC[0] at its corner pixel
+    assert tuple(grid[0, 2 * cell_w + cell_w - 1]) == tuple(COLOR_DIC[0])
+    assert tuple(grid[0, 3 * cell_w + cell_w - 1]) == tuple(COLOR_DIC[1])
+
+
+def test_build_super_images2_topk_layout():
+    from sba_gan_tpu.utils.viz import FONT_MAX, PAD, build_super_images2
+
+    rng = np.random.default_rng(2)
+    imgs = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    caps = np.zeros((2, 8), np.int64)
+    caps[:, :7] = rng.integers(1, 10, (2, 7))
+    lens = np.array([7, 3], np.int32)
+    attn = rng.uniform(0, 1, (2, 4, 4, 8)).astype(np.float32)
+    grid = build_super_images2(imgs, caps, lens,
+                               {i: f"w{i}" for i in range(10)}, attn)
+    assert grid.dtype == np.uint8
+    # two [band/overlay] blocks; width = top-5 columns (sample 0 caps at 5)
+    assert grid.shape[0] == 2 * (FONT_MAX + 32)
+    assert grid.shape[1] == 5 * (32 + PAD)
+
+
+def test_gaussian_smoothing_flattens_peaks():
+    from sba_gan_tpu.utils.viz import _smooth_upsample
+
+    a = np.zeros((4, 4), np.float32)
+    a[1, 1] = 1.0
+    up = _smooth_upsample(a, 64, sigma=20.0)
+    assert up.shape == (64, 64)
+    # sigma-20 smoothing spreads the impulse: peak far below 1, mass kept
+    assert up.max() < 0.2
+    assert up.min() > -1e-3
 
 
 def test_make_grid_and_uint8():
