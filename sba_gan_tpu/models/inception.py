@@ -26,30 +26,44 @@ from flax import linen as nn
 Dtype = Any
 
 
+def _resize_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+    """(n_out, n_in) interpolation-weight matrix for 1-D bilinear resize
+    with torch align_corners=True semantics (scale = (in-1)/(out-1))."""
+    import numpy as np
+
+    w = np.zeros((n_out, n_in), np.float32)
+    if n_out == 1 or n_in == 1:
+        w[:, 0] = 1.0
+        return jnp.asarray(w)
+    pos = np.arange(n_out, dtype=np.float64) * ((n_in - 1) / (n_out - 1))
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 2)
+    frac = (pos - lo).astype(np.float32)
+    rows = np.arange(n_out)
+    w[rows, lo] = 1.0 - frac
+    w[rows, lo + 1] += frac
+    return jnp.asarray(w)
+
+
 def resize_bilinear_align_corners(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
     """Bilinear resize with torch align_corners=True semantics: the corner
-    pixels of input and output coincide (scale = (in-1)/(out-1))."""
+    pixels of input and output coincide (scale = (in-1)/(out-1)).
+
+    TPU-first formulation: separable bilinear resize IS a linear map, so it
+    runs as two small matmuls against static weight matrices instead of the
+    gather formulation — the MXU does the interpolation, and the VJP is the
+    transposed matmul (a gather's transpose is a scatter, which is slow on
+    TPU and sat inside the hot DAMSM path: G's gradient flows through this
+    resize into Inception every train step, trainer.py:288 damsm loss on
+    fakes).  Matmuls run in f32 (XLA-CPU has no bf16 dot; cost is trivial
+    next to the adjacent convs) and cast back to the input dtype."""
     b, h, w, c = x.shape
     oh, ow = size
-
-    def axis_weights(n_in, n_out):
-        if n_out == 1 or n_in == 1:
-            lo = jnp.zeros((n_out,), jnp.int32)
-            return lo, lo, jnp.zeros((n_out,), x.dtype)
-        pos = jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) / (n_out - 1))
-        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 2)
-        frac = (pos - lo.astype(jnp.float32)).astype(x.dtype)
-        return lo, lo + 1, frac
-
-    ylo, yhi, yf = axis_weights(h, oh)
-    xlo, xhi, xf = axis_weights(w, ow)
-
-    top = x[:, ylo, :, :]
-    bot = x[:, yhi, :, :]
-    rows = top + (bot - top) * yf[None, :, None, None]
-    left = rows[:, :, xlo, :]
-    right = rows[:, :, xhi, :]
-    return left + (right - left) * xf[None, None, :, None]
+    wy = _resize_matrix(h, oh)
+    wx = _resize_matrix(w, ow)
+    xf = x.astype(jnp.float32)
+    xf = jnp.einsum("bhwc,ph->bpwc", xf, wy)
+    xf = jnp.einsum("bhwc,qw->bhqc", xf, wx)
+    return xf.astype(x.dtype)
 
 
 def max_pool_3x3_s2(x):

@@ -120,3 +120,41 @@ def test_kernel_transforms():
     assert k[0, 1, 2, 1] == w[1, 2, 0, 1]
     d = dense_kernel(np.arange(6).reshape(2, 3).astype(np.float32))
     assert d.shape == (3, 2)
+
+
+def test_resize_align_corners_parity_vs_torch():
+    """The matmul-formulated bilinear resize matches torch
+    F.interpolate(..., mode='bilinear', align_corners=True) — the exact op
+    the reference applies before Inception (AttnGAN2/code/model.py:210) —
+    for upsampling (256->299, gen2's x2) and downsampling."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from sba_gan_tpu.models.inception import resize_bilinear_align_corners
+
+    rng = np.random.default_rng(0)
+    for (h, w), (oh, ow) in [((16, 16), (19, 19)), ((8, 12), (16, 24)),
+                             ((17, 17), (8, 8)), ((5, 5), (1, 1))]:
+        x = rng.standard_normal((2, h, w, 3)).astype(np.float32)
+        got = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), (oh, ow)))
+        want = (
+            F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                          size=(oh, ow), mode="bilinear", align_corners=True)
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_resize_align_corners_grad_is_finite_and_linear():
+    from sba_gan_tpu.models.inception import resize_bilinear_align_corners
+
+    x = jnp.asarray(np.random.default_rng(1)
+                    .standard_normal((1, 8, 8, 2)).astype(np.float32))
+    f = lambda a: jnp.sum(resize_bilinear_align_corners(a, (13, 13)) ** 2)
+    g = jax.grad(f)(x)
+    assert np.isfinite(np.asarray(g)).all()
+    # linear map: resize(2x) == 2 * resize(x)
+    y1 = resize_bilinear_align_corners(x, (13, 13))
+    y2 = resize_bilinear_align_corners(2.0 * x, (13, 13))
+    np.testing.assert_allclose(np.asarray(y2), 2 * np.asarray(y1), rtol=1e-5)
