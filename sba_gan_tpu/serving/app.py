@@ -3,11 +3,16 @@
 Capability parity with the reference Flask service
 (AttnGAN2/eval/main.py:16-93 + eval/eval.py):
 
-* ``POST /api/v1.0/bird``  — one caption -> small/medium/large images + 2
-  word-attention maps (eval/main.py:16-36),
-* ``POST /api/v1.0/birds`` — six generations of the caption (:39-62),
-* ``GET  /``               — version string (:65-67),
-* per-request ``elapsed`` timing in the JSON response (:23-35).
+* ``POST /api/v1.0/bird``  — one caption -> ``{"bird": {small, medium,
+  large, map1, map2, caption, elapsed}}``, 201 (eval/main.py:16-36),
+* ``POST /api/v1.0/birds`` — six generations -> ``{"bird": {bird1..bird6,
+  caption, elapsed}}``, 201 (:39-62),
+* ``GET  /``               — version string (:61-63),
+* telemetry: per-request WSGI events plus the generate / container
+  lifecycle events the reference sends to Azure App Insights
+  (eval/main.py:12-14 WSGIApplication middleware, :67-71 container
+  initializing, :92 container start) — here a pluggable callable; the
+  TELEMETRY env var names a JSON-lines sink file ('' = stdout).
 
 Re-designed for this environment: a dependency-free WSGI app (the image has
 no Flask) over the jitted sampler; images go to a pluggable
@@ -29,6 +34,46 @@ from typing import Callable, Dict, List, Optional
 import numpy as np
 
 __version__ = "1.0"
+
+
+def make_telemetry(target: Optional[str] = None) -> Callable[[Dict], None]:
+    """Telemetry sink (stand-in for the reference's TelemetryClient wired by
+    the TELEMETRY env var, eval/main.py:12,67).  ``target``: a file path for
+    JSON-lines output; None/'' or '-' emits to stdout."""
+    if target and target != "-":
+        def emit(event: Dict) -> None:
+            with open(target, "a") as f:
+                f.write(json.dumps({"telemetry": event}) + "\n")
+        return emit
+    return lambda event: print(json.dumps({"telemetry": event}), flush=True)
+
+
+class TelemetryMiddleware:
+    """WSGI middleware emitting one event per request — the role of the
+    reference's ``WSGIApplication`` App Insights wrapper (eval/main.py:14)."""
+
+    def __init__(self, app: Callable, telemetry: Callable[[Dict], None]):
+        self.app = app
+        self.telemetry = telemetry
+
+    def __call__(self, environ, start_response):
+        t0 = time.time()
+        status_box = {}
+
+        def start(status, headers, exc_info=None):
+            status_box["status"] = status
+            return start_response(status, headers, exc_info)
+
+        try:
+            return self.app(environ, start)
+        finally:
+            self.telemetry({
+                "event": "request",
+                "method": environ.get("REQUEST_METHOD", ""),
+                "path": environ.get("PATH_INFO", ""),
+                "status": status_box.get("status", "500 Internal Server Error"),
+                "ms": round((time.time() - t0) * 1000.0, 3),
+            })
 
 
 class BlobStore:
@@ -91,7 +136,7 @@ class GanService:
         self.words_num = words_num
         self.store = store
         self.telemetry = telemetry if telemetry is not None else (
-            lambda event: print(json.dumps({"telemetry": event}), flush=True)
+            make_telemetry(os.environ.get("TELEMETRY"))
         )
 
     def generate(self, caption: str, copies: int = 1, seed: int = 0) -> Dict:
@@ -163,7 +208,16 @@ def make_wsgi_app(service: GanService):
             copies = 6 if path.endswith("birds") else 1
             out = service.generate(caption, copies=copies,
                                    seed=int(req.get("seed", 0)))
-            return respond(start_response, "200 OK", out)
+            # reference response shapes (eval/main.py:27-36 bird,
+            # :49-59 birds): payload under 'bird', HTTP 201
+            if copies == 1:
+                bird = dict(out["results"][0])
+            else:
+                bird = {f"bird{j + 1}": out["results"][j]
+                        for j in range(copies)}
+            bird["caption"] = out["caption"]
+            bird["elapsed"] = out["elapsed"]
+            return respond(start_response, "201 Created", {"bird": bird})
         return respond(start_response, "404 Not Found", {"error": "no route"})
 
     return app
@@ -199,16 +253,25 @@ def main():  # pragma: no cover - manual serving entry
     from sba_gan_tpu.main import build_dataset
     from sba_gan_tpu.train.loop import GANTrainer
 
+    # container lifecycle events (reference eval/main.py:67-71, :92)
+    telemetry = make_telemetry(os.environ.get("TELEMETRY"))
+    t0 = time.time()
+    telemetry({"event": "container initializing"})
+
     ds = build_dataset(cfg, args.synthetic, "test")
     n_words = ds.n_words if hasattr(ds, "n_words") else len(ds.ixtoword)
     trainer = GANTrainer(cfg, args.model_dir, ds, n_words, ds.ixtoword)
     trainer.resume()
     service = build_default_service(cfg, trainer,
                                     os.path.join(args.model_dir, "blobs"))
+    service.telemetry = telemetry
     from wsgiref.simple_server import make_server
 
+    telemetry({"event": "container start",
+               "starttime": round(time.time() - t0, 3)})
     print(f"serving on :{args.port}")
-    make_server("", args.port, make_wsgi_app(service)).serve_forever()
+    app = TelemetryMiddleware(make_wsgi_app(service), telemetry)
+    make_server("", args.port, app).serve_forever()
 
 
 if __name__ == "__main__":

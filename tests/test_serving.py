@@ -59,22 +59,24 @@ def test_version_route(client):
 
 
 def test_bird_route(client):
+    """Reference response shape (eval/main.py:27-36): payload under 'bird'
+    with small/medium/map1/caption/elapsed, HTTP 201."""
     status, _, body = client("POST", "/api/v1.0/bird",
                              {"caption": "w1 w2 w3"})
-    assert status == "200 OK"
-    out = json.loads(body)
-    assert out["caption"] == "w1 w2 w3"
-    assert len(out["results"]) == 1
-    entry = out["results"][0]
-    assert {"small", "medium", "map1"} <= set(entry)
-    assert out["elapsed"] >= 0
+    assert status == "201 Created"
+    bird = json.loads(body)["bird"]
+    assert bird["caption"] == "w1 w2 w3"
+    assert {"small", "medium", "map1"} <= set(bird)
+    assert bird["elapsed"] >= 0
 
 
 def test_birds_route_and_image_fetch(client):
+    """Reference 6-copy shape (eval/main.py:49-59): bird1..bird6."""
     status, _, body = client("POST", "/api/v1.0/birds", {"caption": "w1 w4"})
-    out = json.loads(body)
-    assert len(out["results"]) == 6
-    url = out["results"][0]["small"]
+    assert status == "201 Created"
+    bird = json.loads(body)["bird"]
+    assert {f"bird{j}" for j in range(1, 7)} <= set(bird)
+    url = bird["bird1"]["small"]
     status, headers, img = client("GET", url)
     assert status == "200 OK"
     assert headers["Content-Type"] == "image/png"
@@ -106,3 +108,30 @@ def test_bad_request(client):
     assert status == "400 Bad Request"
     status, _, _ = client("GET", "/api/nothing")
     assert status == "404 Not Found"
+
+
+def test_request_telemetry_middleware(client, tmp_path):
+    """Per-request WSGI events (reference WSGIApplication wrapper,
+    eval/main.py:14) and the file-sink TELEMETRY target."""
+    import io as _io
+
+    from sba_gan_tpu.serving.app import (
+        TelemetryMiddleware,
+        make_telemetry,
+    )
+
+    events = []
+    inner = lambda env, start: (start("200 OK", []), [b"ok"])[1]
+    app = TelemetryMiddleware(inner, events.append)
+    app({"REQUEST_METHOD": "GET", "PATH_INFO": "/x",
+         "wsgi.input": _io.BytesIO(b"")}, lambda *a: None)
+    assert events[0]["event"] == "request"
+    assert events[0]["path"] == "/x"
+    assert events[0]["status"] == "200 OK"
+    assert events[0]["ms"] >= 0
+
+    sink = tmp_path / "telemetry.jsonl"
+    emit = make_telemetry(str(sink))
+    emit({"event": "container start", "starttime": 1.5})
+    line = json.loads(sink.read_text().strip())
+    assert line["telemetry"]["event"] == "container start"
