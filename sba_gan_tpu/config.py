@@ -193,6 +193,14 @@ def default_config() -> ConfigDict:
                 # image axis into N sequential chunks (lax.map+checkpoint):
                 # bit-identical numerics, peak grid memory / N.
                 "DAMSM_GRID_CHUNKS": 1,
+                # words-loss similarity implementation: 'xla' (dense grid)
+                # or 'pallas' (fused flash-style kernel, ops/damsm_sim.py —
+                # no (B,B,T,R) grid in HBM; the words loss is HBM-bound in
+                # the dense form).  'interpret' runs the kernel on CPU.
+                "DAMSM_SIM_IMPL": "xla",
+                # text tile per kernel grid step; must divide the batch
+                # (otherwise words_loss falls back to the XLA path).
+                "DAMSM_SIM_TILE": 16,
                 # K train steps per dispatch in the training loop
                 # (lax.scan fusion, make_gan_train_multistep) — amortizes
                 # per-dispatch overhead on low-latency runtimes.  The

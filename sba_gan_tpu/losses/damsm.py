@@ -82,6 +82,8 @@ def words_loss(
     return_attn: bool = False,
     einsum_dtype=jnp.float32,
     grid_chunks: int = 1,
+    impl: str = "xla",
+    tile_i: int = 16,
 ):
     """Word-level DAMSM loss (reference words_loss, losses.py:62-132), fully
     batched.
@@ -106,11 +108,34 @@ def words_loss(
     divides by the chunk count while numerics are bit-identical.  Unlocks
     per-chip batches whose full grid would not fit HBM
     (cfg.JAX.DAMSM_GRID_CHUNKS).
+
+    impl: 'xla' — the dense-grid reference formulation below;
+    'pallas' — the fused flash-style kernel (ops/damsm_sim.py): never
+    materializes the (B,B,T,R) grid in HBM, custom flash VJP; falls back
+    to XLA when return_attn is requested or B % tile_i != 0.
+    'interpret' — the Pallas kernel on the CPU interpreter (tests).
     """
     img = img_features.astype(jnp.float32)
     words = words_emb.astype(jnp.float32)
     b, t, d = words.shape
     r = img.shape[1]
+
+    if impl != "xla" and not return_attn and b % tile_i == 0:
+        from sba_gan_tpu.ops.damsm_sim import damsm_sim
+
+        sim = damsm_sim(
+            words, img, cap_lens, gamma1, gamma2,
+            tile_i=tile_i, mm_dtype=einsum_dtype,
+            interpret=(impl == "interpret"),
+        )
+        similarities = sim.T * gamma3
+        if class_ids is not None:
+            similarities = jnp.where(
+                _class_mask(class_ids), NEG_INF, similarities)
+        loss0 = _masked_cross_entropy(similarities, labels)
+        loss1 = _masked_cross_entropy(similarities.T, labels)
+        return loss0, loss1
+
     img_e = img.astype(einsum_dtype)
     words_e = words.astype(einsum_dtype)
 

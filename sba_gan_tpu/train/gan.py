@@ -197,6 +197,8 @@ def make_gan_train_step(cfg, models: GANModels, mesh=None):
     remat_generator = cfg.JAX.REMAT_GENERATOR
     damsm_chunks = cfg.JAX.DAMSM_CHUNKS
     grid_chunks = cfg.JAX.DAMSM_GRID_CHUNKS
+    sim_impl = cfg.JAX.DAMSM_SIM_IMPL
+    sim_tile = cfg.JAX.DAMSM_SIM_TILE
     loss_dtype = (jnp.bfloat16 if cfg.JAX.LOSS_DTYPE == "bfloat16"
                   else jnp.float32)
     g_tx, d_tx = gan_optimizers(cfg)
@@ -357,6 +359,7 @@ def make_gan_train_step(cfg, models: GANModels, mesh=None):
                 region, words_embs, match_labels, cap_lens, class_ids,
                 gamma1=gamma1, gamma2=gamma2, gamma3=gamma3,
                 einsum_dtype=loss_dtype, grid_chunks=grid_chunks,
+                impl=sim_impl, tile_i=sim_tile,
             )
             s0, s1 = sent_loss(code, sent_emb, match_labels, class_ids, gamma3=gamma3)
             w_loss = (w0 + w1) * smooth_lambda

@@ -18,6 +18,56 @@ from __future__ import annotations
 import os
 
 
+def patch_cpu_collective_timeouts(
+    warn_seconds: int = 300, terminate_seconds: int = 1800
+) -> None:
+    """Raise XLA-CPU's *collective-call* rendezvous timeouts per compile.
+
+    XLA-CPU rendezvouses partition threads around collectives and calls a
+    hard ``abort()`` when a participant arrives too late ("Termination
+    timeout ... Exiting to ensure a consistent program state").  On a
+    single-core, throttled host running an 8-device virtual mesh the
+    partitions execute serially, so one thread can stall past the limit
+    (observed killing the test suite and the multichip dryrun).
+
+    Two distinct rendezvous exist:
+    * the CollectiveThunk collective-call rendezvous — timeouts come from
+      the ``xla_cpu_collective_call_{warn_stuck,terminate_timeout}_seconds``
+      DebugOptions.  They are not registered XLA_FLAGS in this jaxlib, so
+      this helper injects them into every compile via
+      ``env_options_overrides`` (wrapping
+      ``jax._src.compiler.get_compile_options``).
+    * the in-process communicator's rendezvous (InProcessCommunicator →
+      AwaitAndLogIfStuck) — 20 s warn / 40 s terminate are HARDCODED and
+      ignore these options.  That abort cannot be configured away, which
+      is why collective-executing tests and the multichip dryrun run in
+      retryable subprocesses (tests/_mesh_cases.py, __graft_entry__).
+
+    Call this only in processes pinned to the CPU backend (tests,
+    dryruns, ``--platform cpu`` CLI runs).
+    """
+    import jax._src.compiler as _compiler
+
+    if getattr(_compiler, "_sba_collective_timeout_patch", None):
+        return
+    orig = _compiler.get_compile_options
+
+    def wrapped(*args, **kwargs):
+        overrides = dict(kwargs.get("env_options_overrides") or {})
+        overrides.setdefault(
+            "xla_cpu_collective_call_warn_stuck_seconds", str(warn_seconds)
+        )
+        overrides.setdefault(
+            "xla_cpu_collective_call_terminate_timeout_seconds",
+            str(terminate_seconds),
+        )
+        kwargs["env_options_overrides"] = overrides
+        return orig(*args, **kwargs)
+
+    _compiler.get_compile_options = wrapped
+    _compiler._sba_collective_timeout_patch = orig
+
+
 def select_platform(name: str, virtual_cpu_devices: int = 0) -> None:
     """Switch the JAX platform; ``''`` keeps the preloaded default.
 
@@ -43,3 +93,5 @@ def select_platform(name: str, virtual_cpu_devices: int = 0) -> None:
         import jax
 
         jax.config.update("jax_platforms", name)
+    if name == "cpu" or virtual_cpu_devices:
+        patch_cpu_collective_timeouts()

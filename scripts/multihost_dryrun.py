@@ -31,6 +31,12 @@ def worker(rank: int) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # Raise the configurable collective-call rendezvous timeouts (the
+    # in-process communicator's 40 s rendezvous is hardcoded, but these
+    # workers already run isolated and their caller retries on timeout).
+    from sba_gan_tpu.utils.platform import patch_cpu_collective_timeouts
+
+    patch_cpu_collective_timeouts()
     from sba_gan_tpu.parallel import batch_sharding, init_distributed, make_mesh
 
     init_distributed(

@@ -59,7 +59,8 @@ def make_args(cfg, b):
 
 
 def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
-        remat_g=False, loss_dtype="float32", grid_chunks=1):
+        remat_g=False, loss_dtype="float32", grid_chunks=1,
+        sim_impl="xla"):
     cfg = cfg_from_dict(
         {
             "TREE": {"BRANCH_NUM": 3},
@@ -71,7 +72,8 @@ def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
             "JAX": {"DTYPE": "bfloat16", "USE_PALLAS": use_pallas,
                     "REMAT_IMAGE_ENCODER": remat, "DAMSM_CHUNKS": chunks,
                     "REMAT_GENERATOR": remat_g, "LOSS_DTYPE": loss_dtype,
-                    "DAMSM_GRID_CHUNKS": grid_chunks},
+                    "DAMSM_GRID_CHUNKS": grid_chunks,
+                    "DAMSM_SIM_IMPL": sim_impl},
         }
     )
     models = build_models(cfg, 5450)
@@ -120,6 +122,7 @@ if __name__ == "__main__":
         flags = set(sys.argv[4:])
         kw = dict(remat="remat" in flags, remat_g="rematg" in flags,
                   use_pallas="pallas" in flags,
+                  sim_impl="pallas" if "simpallas" in flags else "xla",
                   loss_dtype="float32" if "lossf32" in flags else "bfloat16")
         for f in flags:
             if f.startswith("chunks="):

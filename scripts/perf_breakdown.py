@@ -16,6 +16,9 @@ perf_ablation.py).  Modes:
     python scripts/perf_breakdown.py dsteps 128       # 3 D updates only
     python scripts/perf_breakdown.py text 128         # bi-LSTM encode
     python scripts/perf_breakdown.py nodamsm 128      # full step, LAMBDA=0
+    python scripts/perf_breakdown.py damsmloss 128    # words+sent loss f/b
+    python scripts/perf_breakdown.py damsm_slice 128  # whole DAMSM branch
+                                                      # as the step builds it
 """
 
 import os
@@ -122,6 +125,59 @@ def main():
         f = jax.jit(lambda c, l: te.apply(state.text, c, l, train=False))
         dt = fence_timed(f, (jnp.asarray(caps), jnp.asarray(lens)),
                          fetch=lambda o: float(jnp.sum(o[1])))
+    elif mode in ("damsmloss", "damsm_slice"):
+        from sba_gan_tpu.losses.damsm import sent_loss, words_loss
+
+        state = init_gan_state(cfg, models, key)
+        t = cfg.TEXT.WORDS_NUM
+        words = jnp.asarray(
+            rng.standard_normal((b, t, 256)).astype(np.float32))
+        sent = jnp.asarray(rng.standard_normal((b, 256)).astype(np.float32))
+        lens = jnp.asarray(rng.integers(4, t + 1, (b,)).astype(np.int32))
+        cls = jnp.asarray(rng.integers(0, 200, (b,)).astype(np.int32))
+        labels = jnp.arange(b)
+
+        def loss_from(region, code):
+            w0, w1 = words_loss(region, words, labels, lens, cls,
+                                einsum_dtype=jnp.bfloat16,
+                                grid_chunks=int(os.environ.get("GRID", "1")),
+                                impl=os.environ.get("SIM_IMPL", "xla"))
+            s0, s1 = sent_loss(code, sent, labels, cls)
+            return w0 + w1 + s0 + s1
+
+        if mode == "damsmloss":
+            region = jnp.asarray(
+                rng.standard_normal((b, 289, 256)).astype(np.float32))
+            code = jnp.asarray(
+                rng.standard_normal((b, 256)).astype(np.float32))
+            f = jax.jit(jax.value_and_grad(loss_from, argnums=(0, 1)))
+            dt = fence_timed(f, (region, code), fetch=lambda o: float(o[0]))
+        else:
+            # the branch exactly as make_gan_train_step builds it
+            # (train/gan.py:336-363): resize-to-299 inside the encoder,
+            # optional jax.checkpoint remat, DAMSM_CHUNKS lax.map, then the
+            # losses; grad w.r.t. the fake 256px image only.
+            enc = models.image_encoder
+            chunks = int(os.environ.get("CHUNKS", "4"))
+            encode = lambda img: enc.apply(state.image, img, False)
+            if os.environ.get("REMAT", "1") == "1":
+                encode = jax.checkpoint(encode)
+            if chunks > 1:
+                def encode_chunked(img, _enc=encode):
+                    cs = img.reshape(chunks, b // chunks, *img.shape[1:])
+                    region_c, code_c = jax.lax.map(_enc, cs)
+                    return (region_c.reshape(b, *region_c.shape[2:]),
+                            code_c.reshape(b, code_c.shape[-1]))
+                encode = encode_chunked
+
+            def slice_loss(fake):
+                region, code = encode(fake)
+                return loss_from(region, code)
+
+            fake = jnp.asarray(
+                rng.uniform(-1, 1, (b, 256, 256, 3)).astype(np.float32))
+            f = jax.jit(jax.value_and_grad(slice_loss))
+            dt = fence_timed(f, (fake,), fetch=lambda o: float(o[0]))
     elif mode in ("dsteps", "nodamsm"):
         # full step; for dsteps the proxy is nodamsm-vs-full decomposition
         state = init_gan_state(cfg, models, key)

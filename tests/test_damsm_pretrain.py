@@ -90,21 +90,14 @@ def test_eval_step_runs(trainer, rng):
     assert np.isfinite(float(logs["total"]))
 
 
-def test_step_sharded_over_mesh(trainer, rng, cpu_devices):
-    """DAMSM step over the 8-device data mesh (SPMD path)."""
-    import jax as _jax
-    from sba_gan_tpu.parallel import batch_sharding, make_mesh, replicated
+def test_step_sharded_over_mesh(mesh_case):
+    """DAMSM step over the 8-device data mesh (SPMD path).
 
-    mesh = make_mesh(trainer.cfg)
-    bsh, rsh = batch_sharding(mesh), replicated(mesh)
-    state = _jax.device_put(trainer.init_state(_jax.random.PRNGKey(0)), rsh)
-    img, captions, cap_lens, class_ids = make_batch(rng, 8, 6, 75)
-    args = [
-        _jax.device_put(np.asarray(a), bsh)
-        for a in (img, captions, cap_lens, class_ids)
-    ]
-    state, logs = trainer.train_step(state, *args, _jax.random.PRNGKey(1))
-    assert np.isfinite(float(logs["total"]))
+    Runs in a fresh interpreter (_mesh_cases.py damsm_sharded): XLA-CPU's
+    in-process collectives abort() the whole process on a hardcoded 40 s
+    rendezvous miss, which this host's bursty core can trigger mid-suite."""
+    out = mesh_case("damsm_sharded")
+    assert "DAMSM_SHARDED_OK" in out, out
 
 
 def test_epoch_lr_schedule():

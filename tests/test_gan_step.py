@@ -65,12 +65,28 @@ def setup():
     return cfg, models, state
 
 
-def test_single_step_finite_losses(setup, rng):
+@pytest.fixture(scope="module")
+def step_jit(setup):
+    """ONE compiled train step shared module-wide (suite wall-clock: the
+    step compile dominates; a single jit object also lets the sharded tests
+    hit the executable cache when shardings repeat)."""
+    cfg, models, _ = setup
+    return jax.jit(make_gan_train_step(cfg, models))
+
+
+@pytest.fixture(scope="module")
+def one_step(setup, step_jit):
+    """(new_state, logs) of one step — shared by the finiteness/EMA tests."""
     cfg, models, state = setup
-    step = jax.jit(make_gan_train_step(cfg, models))
+    rng = np.random.default_rng(1234)
     imgs, captions, cap_lens, class_ids = make_batch(cfg, rng, 8)
-    new_state, logs = step(state, imgs, captions, cap_lens, class_ids,
-                           jax.random.PRNGKey(1))
+    return step_jit(state, imgs, captions, cap_lens, class_ids,
+                    jax.random.PRNGKey(1))
+
+
+def test_single_step_finite_losses(setup, one_step):
+    cfg, models, state = setup
+    new_state, logs = one_step
     for k, v in logs.items():
         assert np.isfinite(float(v)), f"{k} not finite: {v}"
     assert int(new_state.step) == 1
@@ -90,12 +106,9 @@ def test_single_step_finite_losses(setup, rng):
     )
 
 
-def test_ema_tracks_params(setup, rng):
+def test_ema_tracks_params(setup, one_step):
     cfg, models, state = setup
-    step = jax.jit(make_gan_train_step(cfg, models))
-    imgs, captions, cap_lens, class_ids = make_batch(cfg, rng, 8)
-    new_state, _ = step(state, imgs, captions, cap_lens, class_ids,
-                        jax.random.PRNGKey(2))
+    new_state, _ = one_step
     # ema = 0.999*old_param + 0.001*new_param, with ema initialized to old.
     leaves_old = jax.tree.leaves(state.g.params)
     leaves_new = jax.tree.leaves(new_state.g.params)
@@ -104,78 +117,29 @@ def test_ema_tracks_params(setup, rng):
         np.testing.assert_allclose(e, 0.999 * o + 0.001 * n, rtol=1e-4, atol=1e-6)
 
 
-def test_step_sharded_over_mesh(setup, rng, cpu_devices):
+@pytest.fixture(scope="module")
+def gan_sharded_out(mesh_case):
+    """One subprocess compiles the step once and runs BOTH the sharded
+    finiteness case and the sharded-vs-unsharded equivalence case
+    (_mesh_cases.py gan_sharded) — isolated because XLA-CPU's in-process
+    collectives abort() the whole process on a hardcoded 40 s rendezvous
+    miss, which this host's bursty core can trigger mid-suite."""
+    return mesh_case("gan_sharded")
+
+
+def test_step_sharded_over_mesh(gan_sharded_out):
     """The same step jitted with batch sharded over the 8-device data axis
     (params replicated) — validates the SPMD path the reference never had."""
-    cfg, models, state = setup
-    mesh = make_mesh(cfg)
-    bsh = batch_sharding(mesh)
-    rsh = replicated(mesh)
-
-    step = make_gan_train_step(cfg, models)
-    imgs, captions, cap_lens, class_ids = make_batch(cfg, rng, 8)
-    state_sh = jax.device_put(state, rsh)
-    imgs = tuple(jax.device_put(x, bsh) for x in imgs)
-    captions = jax.device_put(captions, bsh)
-    cap_lens = jax.device_put(cap_lens, bsh)
-    class_ids = jax.device_put(class_ids, bsh)
-
-    new_state, logs = jax.jit(step)(
-        state_sh, imgs, captions, cap_lens, class_ids, jax.random.PRNGKey(3)
-    )
-    for k, v in logs.items():
-        assert np.isfinite(float(v)), f"{k} not finite under mesh: {v}"
+    assert "GAN_SHARDED_FINITE_OK" in gan_sharded_out, gan_sharded_out
 
 
-def test_sharded_step_matches_unsharded(setup, rng, cpu_devices):
+def test_sharded_step_matches_unsharded(gan_sharded_out):
     """Numerical SPMD invariant (VERDICT round 1, next #5): one train step
     on a single device equals the same step with the batch sharded over the
     8-device data axis — same losses, same updated params.  This pins the
     global (sync) BatchNorm claim: sharded-batch mean/var reductions inside
     jit are global, so statistics match the unsharded full batch."""
-    cfg, models, state = setup
-    step = make_gan_train_step(cfg, models)
-    imgs, captions, cap_lens, class_ids = make_batch(cfg, rng, 8)
-    key = jax.random.PRNGKey(7)
-
-    ref_state, ref_logs = jax.jit(step)(
-        state, imgs, captions, cap_lens, class_ids, key
-    )
-
-    mesh = make_mesh(cfg)
-    bsh, rsh = batch_sharding(mesh), replicated(mesh)
-    sh_state, sh_logs = jax.jit(step)(
-        jax.device_put(state, rsh),
-        tuple(jax.device_put(x, bsh) for x in imgs),
-        jax.device_put(captions, bsh),
-        jax.device_put(cap_lens, bsh),
-        jax.device_put(class_ids, bsh),
-        key,
-    )
-
-    for k in ref_logs:
-        np.testing.assert_allclose(
-            float(sh_logs[k]), float(ref_logs[k]), rtol=1e-3, atol=1e-4,
-            err_msg=f"log {k} diverges under sharding",
-        )
-    for name, ref_tree, sh_tree in [
-        ("g.params", ref_state.g.params, sh_state.g.params),
-        ("g.batch_stats", ref_state.g.batch_stats, sh_state.g.batch_stats),
-    ] + [
-        (f"ds[{i}].params", r.params, s.params)
-        for i, (r, s) in enumerate(zip(ref_state.ds, sh_state.ds))
-    ]:
-        for (path, a), (_, b) in zip(
-            jax.tree_util.tree_flatten_with_path(ref_tree)[0][0:],
-            jax.tree_util.tree_flatten_with_path(sh_tree)[0][0:],
-        ):
-            # atol 5e-4: Adam normalizes grads, so a reduction-order float
-            # wiggle on a near-zero grad can flip an element's full
-            # +-lr*update (lr 2e-4); real desync diverges far beyond this.
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-4,
-                err_msg=f"{name}{jax.tree_util.keystr(path)} diverges",
-            )
+    assert "GAN_SHARDED_EQUIV_OK" in gan_sharded_out, gan_sharded_out
 
 
 def test_sample_fn(setup, rng):

@@ -5,24 +5,17 @@ the TPU-native scaling extension: activation sharding constraints on the
 DAMSM encoder over a ('data','model') mesh, with GSPMD propagating the
 channel sharding into the conv tower.
 
-The FULL train step under DPxTP is exercised here too
-(test_full_gan_step_dp_tp) — XLA-CPU's in-process communicator prints
-rendezvous warnings while virtual devices skew on one host core, but the
-threads unstick; only the driver-facing dryrun keeps its mesh pure-DP to
-bound wall-clock (__graft_entry__.dryrun_multichip).
+The collective-executing cases (encoder DPxTP with unsharded parity, FULL
+train step under a (data=4, model=2) mesh) run in ONE fresh interpreter
+via _mesh_cases.py: XLA-CPU's in-process collectives abort() the whole
+process on a hardcoded 40 s rendezvous miss, which this host's bursty
+core can trigger mid-suite — isolation turns that into a retryable
+subprocess failure instead of killing pytest.
 """
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+import pytest
 
-from sba_gan_tpu.models.inception import CNNEncoder
-from sba_gan_tpu.parallel import (
-    batch_sharding,
-    make_mesh,
-    replicated,
-    tensor_constraint,
-)
+from sba_gan_tpu.parallel import make_mesh, tensor_constraint
 
 
 def test_tensor_constraint_none_without_model_axis(cpu_devices):
@@ -31,89 +24,20 @@ def test_tensor_constraint_none_without_model_axis(cpu_devices):
     assert tensor_constraint(None) is None
 
 
-def test_damsm_encoder_dp_tp(cpu_devices):
-    mesh = make_mesh(devices=cpu_devices[:4], model=2)  # (data=2, model=2)
-    constrain = tensor_constraint(mesh)
-    assert constrain is not None
-
-    enc = CNNEncoder(nef=16, input_size=75)
-    variables = enc.init(jax.random.PRNGKey(0),
-                         jnp.zeros((2, 64, 64, 3), jnp.float32))
-    variables = jax.device_put(variables, replicated(mesh))
-
-    def forward(img):
-        region, code = enc.apply(variables, img, False)
-        region = constrain(region, ("data", None, "model"))
-        code = constrain(code, ("data", "model"))
-        return region, code
-
-    rng = np.random.default_rng(0)
-    img = jax.device_put(
-        rng.uniform(-1, 1, (4, 64, 64, 3)).astype(np.float32),
-        batch_sharding(mesh),
-    )
-    region, code = jax.jit(forward)(img)
-    assert region.shape[0] == 4 and region.shape[2] == 16
-    assert code.shape == (4, 16)
-    assert np.isfinite(np.asarray(region)).all()
-    assert np.isfinite(np.asarray(code)).all()
-    # the constraint actually took: the output is not fully replicated
-    assert not code.sharding.is_fully_replicated
-
-    # sharded result matches the unsharded single-device computation
-    region1, code1 = enc.apply(variables, jnp.asarray(img), False)
-    np.testing.assert_allclose(np.asarray(code), np.asarray(code1),
-                               rtol=2e-4, atol=2e-4)
+@pytest.fixture(scope="module")
+def tp_out(mesh_case):
+    return mesh_case("tp_cases")
 
 
-def test_full_gan_step_dp_tp(cpu_devices):
+def test_damsm_encoder_dp_tp(tp_out):
+    """DAMSM encoder under a (data=2, model=2) mesh: channel sharding
+    takes (output not fully replicated) and matches the unsharded
+    single-device computation."""
+    assert "TP_ENCODER_OK" in tp_out, tp_out
+
+
+def test_full_gan_step_dp_tp(tp_out):
     """FULL train step (3 D updates + G + EMA) over a (data=4, model=2)
     mesh — the DPxTP claim of train/gan.py validated end to end
-    (VERDICT round 1, next #6).  Losses must be finite; the rendezvous
-    warnings XLA-CPU prints while virtual devices skew on one host core
-    are benign (threads unstick)."""
-    from sba_gan_tpu.config import cfg_from_dict
-    from sba_gan_tpu.train import (
-        build_models,
-        init_gan_state,
-        make_gan_train_step,
-    )
-
-    cfg = cfg_from_dict({
-        "TREE": {"BRANCH_NUM": 2, "BASE_SIZE": 64},
-        "TRAIN": {"BATCH_SIZE": 8},
-        "GAN": {"GF_DIM": 8, "DF_DIM": 8, "Z_DIM": 8, "W_DIM": 16,
-                "CONDITION_DIM": 8, "R_NUM": 1},
-        "TEXT": {"EMBEDDING_DIM": 32, "WORDS_NUM": 6},
-        "MODEL": {"INCEPTION_INPUT": 75},
-        "JAX": {"MESH_MODEL": 2, "MESH_DATA": 4},
-    })
-    models = build_models(cfg, 30)
-    state = init_gan_state(cfg, models, jax.random.PRNGKey(0))
-    mesh = make_mesh(cfg)
-    assert dict(mesh.shape) == {"data": 4, "model": 2}
-    bsh, rsh = batch_sharding(mesh), replicated(mesh)
-
-    rng = np.random.default_rng(0)
-    b, t = 8, 6
-    imgs = tuple(
-        jax.device_put(
-            rng.uniform(-1, 1, (b, 64 * 2 ** i, 64 * 2 ** i, 3))
-            .astype(np.float32), bsh)
-        for i in range(2)
-    )
-    caps = np.zeros((b, t), np.int32)
-    lens = rng.integers(2, t + 1, (b,)).astype(np.int32)
-    for i, l in enumerate(lens):
-        caps[i, :l] = rng.integers(1, 30, (l,))
-    cls = rng.integers(0, 5, (b,)).astype(np.int32)
-
-    step = jax.jit(make_gan_train_step(cfg, models, mesh=mesh))
-    new_state, logs = step(
-        jax.device_put(state, rsh), imgs, jax.device_put(caps, bsh),
-        jax.device_put(lens, bsh), jax.device_put(cls, bsh),
-        jax.random.PRNGKey(1),
-    )
-    for k, v in logs.items():
-        assert np.isfinite(float(v)), f"{k} not finite under DPxTP: {v}"
-    assert int(new_state.step) == 1
+    (VERDICT round 1, next #6).  Losses must be finite."""
+    assert "TP_FULL_STEP_OK" in tp_out, tp_out
