@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round-2 perf queue: one fresh process per config (CLAUDE.md: a second
+# compiled program in the same process can spill HBM catastrophically),
+# sequential (1-core host), each with its own timeout.  Logs append to $LOG.
+#
+# Usage: bash scripts/r2_ablation_queue.sh [LOG]
+LOG=${1:-/tmp/r2_ablations.log}
+cd "$(dirname "$0")/.."
+
+run() {
+  echo "=== $* ===" >> "$LOG"
+  timeout 1800 "$@" >> "$LOG" 2>&1
+  echo "rc=$?" >> "$LOG"
+}
+
+# 1. loss-level A/B: dense XLA grid vs fused Pallas kernel (fwd+bwd)
+SIM_IMPL=xla    run python scripts/perf_breakdown.py damsmloss 128
+SIM_IMPL=pallas run python scripts/perf_breakdown.py damsmloss 128
+
+# 2. whole DAMSM branch as the train step builds it (encoder+remat+chunks+loss)
+SIM_IMPL=xla    run python scripts/perf_breakdown.py damsm_slice 128
+SIM_IMPL=pallas run python scripts/perf_breakdown.py damsm_slice 128
+# kernel frees the grid HBM: try the branch without remat / without chunks
+SIM_IMPL=pallas REMAT=0 CHUNKS=1 run python scripts/perf_breakdown.py damsm_slice 128
+
+# 3. full-step ablations at the bench operating point
+run python scripts/perf_ablation.py one b128_simpallas 128 remat chunks=4 simpallas
+run python scripts/perf_ablation.py one b128_simpallas_nochunk 128 remat simpallas
+run python scripts/perf_ablation.py one b128_simpallas_plain 128 simpallas
+
+echo "QUEUE_DONE" >> "$LOG"
