@@ -28,4 +28,7 @@ run python scripts/perf_ablation.py one b128_simpallas 128 remat chunks=4 simpal
 run python scripts/perf_ablation.py one b128_simpallas_nochunk 128 remat simpallas
 run python scripts/perf_ablation.py one b128_simpallas_plain 128 simpallas
 
+# 4. re-measure the round-1 (voided) Pallas word-attention A/B honestly
+run python scripts/perf_ablation.py one b128_wordattn_pallas 128 remat chunks=4 pallas
+
 echo "QUEUE_DONE" >> "$LOG"
