@@ -85,9 +85,8 @@ def _pair_forward(w, x, valid, gamma1, gamma2, mm_dtype):
 def _pair_backward(w, x, valid, g, gamma1, gamma2, mm_dtype):
     """Recompute the pair forward and return (d_w (TI,T,D), d_x (R,D)).
 
-    g (TI,) — d sim[i, j] for this tile's texts against image j, already
-    multiplied by the logsumexp softmax weights?  No: g is d_sim; the
-    logsumexp jacobian (softmax over valid words) is applied here."""
+    g (TI,) is d_sim[i, j] for this tile's texts against image j; the
+    logsumexp jacobian (softmax of rs over valid words) is applied here."""
     ti, t, d = w.shape
     r = x.shape[0]
     rs, a1, a2, c = _pair_forward(w, x, valid, gamma1, gamma2, mm_dtype)
