@@ -31,4 +31,8 @@ run python scripts/perf_ablation.py one b128_simpallas_plain 128 simpallas
 # 4. re-measure the round-1 (voided) Pallas word-attention A/B honestly
 run python scripts/perf_ablation.py one b128_wordattn_pallas 128 remat chunks=4 pallas
 
+# 5. larger batch: the fused kernel frees the words-loss grid HBM, so the
+# b192 point that ResourceExhausted'ed with the dense grid may fit now
+run python scripts/perf_ablation.py one b192_simpallas 192 remat chunks=4 simpallas
+
 echo "QUEUE_DONE" >> "$LOG"
