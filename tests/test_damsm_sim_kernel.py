@@ -70,6 +70,32 @@ def test_sim_matches_grid_formula(rng):
     np.testing.assert_allclose(float(sim[2, 3]), expect, rtol=1e-5)
 
 
+def test_gan_step_with_kernel_matches_xla(rng):
+    """Full GAN train step with JAX.DAMSM_SIM_IMPL=interpret produces the
+    same losses as the dense-grid XLA path — the kernel integrates into
+    make_gan_train_step (train/gan.py) exactly, not just at the loss call."""
+    from test_gan_step import N_WORDS, make_batch, tiny_cfg
+
+    from sba_gan_tpu.train import build_models, init_gan_state, \
+        make_gan_train_step
+
+    batch = None
+    logs = {}
+    for impl in ("xla", "interpret"):
+        cfg = tiny_cfg(**{"JAX.DAMSM_SIM_IMPL": impl,
+                          "JAX.DAMSM_SIM_TILE": 4})
+        models = build_models(cfg, N_WORDS)
+        state = init_gan_state(cfg, models, jax.random.PRNGKey(0))
+        if batch is None:
+            batch = make_batch(cfg, np.random.default_rng(3), 8)
+        step = jax.jit(make_gan_train_step(cfg, models))
+        _, logs[impl] = step(state, *batch, jax.random.PRNGKey(1))
+    for k in logs["xla"]:
+        np.testing.assert_allclose(
+            float(logs["interpret"][k]), float(logs["xla"][k]),
+            rtol=5e-5, atol=1e-6, err_msg=f"log {k} diverges under kernel")
+
+
 def test_uneven_batch_falls_back(rng):
     """B not divisible by tile_i: words_loss silently uses the XLA path."""
     words, img, lens, cls = make_inputs(rng, b=6)
