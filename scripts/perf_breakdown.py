@@ -19,6 +19,8 @@ perf_ablation.py).  Modes:
     python scripts/perf_breakdown.py damsmloss 128    # words+sent loss f/b
     python scripts/perf_breakdown.py damsm_slice 128  # whole DAMSM branch
                                                       # as the step builds it
+    python scripts/perf_breakdown.py sample 128       # EMA inference
+                                                      # (text enc + G fwd)
 """
 
 import os
@@ -178,6 +180,26 @@ def main():
                 rng.uniform(-1, 1, (b, 256, 256, 3)).astype(np.float32))
             f = jax.jit(jax.value_and_grad(slice_loss))
             dt = fence_timed(f, (fake,), fetch=lambda o: float(o[0]))
+    elif mode == "sample":
+        # honest inference throughput: make_sample_fn (text encode + EMA
+        # 3-branch G forward), fence = host fetch of one output pixel.
+        # Round 1's "32k img/s style-mixing inference" figure was an
+        # enqueue-rate artifact; this is its replacement.
+        from sba_gan_tpu.train import make_sample_fn
+
+        state = init_gan_state(cfg, models, key)
+        sample = jax.jit(make_sample_fn(cfg, models))
+        t = cfg.TEXT.WORDS_NUM
+        caps = np.zeros((b, t), np.int32)
+        lens = rng.integers(4, t + 1, (b,)).astype(np.int32)
+        for i, l in enumerate(lens):
+            caps[i, :l] = rng.integers(1, 5450, (l,))
+        dt = fence_timed(
+            sample, (state, jnp.asarray(caps), jnp.asarray(lens), key),
+            fetch=lambda o: float(jnp.sum(o[0][-1][0, 0, 0])))
+        print(f"{mode}: batch={b} {dt * 1000:.1f} ms "
+              f"{b / dt:.0f} img/s", flush=True)
+        return
     elif mode in ("dsteps", "nodamsm"):
         # full step; for dsteps the proxy is nodamsm-vs-full decomposition
         state = init_gan_state(cfg, models, key)

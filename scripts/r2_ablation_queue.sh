@@ -35,4 +35,7 @@ run python scripts/perf_ablation.py one b128_wordattn_pallas 128 remat chunks=4 
 # b192 point that ResourceExhausted'ed with the dense grid may fit now
 run python scripts/perf_ablation.py one b192_simpallas 192 remat chunks=4 simpallas
 
+# 6. honest inference throughput (replaces round 1's voided figure)
+run python scripts/perf_breakdown.py sample 128
+
 echo "QUEUE_DONE" >> "$LOG"
