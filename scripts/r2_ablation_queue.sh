@@ -13,6 +13,9 @@ run() {
   echo "rc=$?" >> "$LOG"
 }
 
+# 0. on-chip kernel numerics (Mosaic compile, not the interpreter)
+run python scripts/check_sim_kernel_tpu.py
+
 # 1. loss-level A/B: dense XLA grid vs fused Pallas kernel (fwd+bwd)
 SIM_IMPL=xla    run python scripts/perf_breakdown.py damsmloss 128
 SIM_IMPL=pallas run python scripts/perf_breakdown.py damsmloss 128
