@@ -8,6 +8,9 @@ LOG=${1:-/tmp/r2_ablations.log}
 cd "$(dirname "$0")/.."
 
 run() {
+  # Never overlap a measurement with CPU jax work (1-core host skews
+  # benches ~3x): wait while the busy marker exists.
+  while [ -e /tmp/jax_cpu_busy ]; do sleep 60; done
   echo "=== $* ===" >> "$LOG"
   timeout 1800 "$@" >> "$LOG" 2>&1
   echo "rc=$?" >> "$LOG"
