@@ -40,8 +40,16 @@ run python scripts/perf_ablation.py one b128_wordattn_pallas 128 remat chunks=4 
 # 5. larger batch: the fused kernel frees the words-loss grid HBM, so the
 # b192 point that ResourceExhausted'ed with the dense grid may fit now
 run python scripts/perf_ablation.py one b192_simpallas 192 remat chunks=4 simpallas
+# ... and b256 (OOMed round 1 on G vjp residuals; cheap to re-try, rc!=0 ok)
+run python scripts/perf_ablation.py one b256_simpallas 256 remat chunks=8 simpallas
 
 # 6. honest inference throughput (replaces round 1's voided figure)
 run python scripts/perf_breakdown.py sample 128
+
+# 7. finer sink naming for the non-DAMSM 168 ms (NOTES perf table):
+# generator fwd+vjp, bi-LSTM encode, full step at LAMBDA=0 re-check
+run python scripts/perf_breakdown.py gvjp 128
+run python scripts/perf_breakdown.py text 128
+run python scripts/perf_breakdown.py nodamsm 128
 
 echo "QUEUE_DONE" >> "$LOG"
