@@ -60,7 +60,7 @@ def make_args(cfg, b):
 
 def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
         remat_g=False, loss_dtype="float32", grid_chunks=1,
-        sim_impl="xla"):
+        sim_impl="xla", sim_tile=16):
     cfg = cfg_from_dict(
         {
             "TREE": {"BRANCH_NUM": 3},
@@ -73,7 +73,8 @@ def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
                     "REMAT_IMAGE_ENCODER": remat, "DAMSM_CHUNKS": chunks,
                     "REMAT_GENERATOR": remat_g, "LOSS_DTYPE": loss_dtype,
                     "DAMSM_GRID_CHUNKS": grid_chunks,
-                    "DAMSM_SIM_IMPL": sim_impl},
+                    "DAMSM_SIM_IMPL": sim_impl,
+                    "DAMSM_SIM_TILE": sim_tile},
         }
     )
     models = build_models(cfg, 5450)
@@ -129,4 +130,6 @@ if __name__ == "__main__":
                 kw["chunks"] = int(f.split("=")[1])
             if f.startswith("grid="):
                 kw["grid_chunks"] = int(f.split("=")[1])
+            if f.startswith("tile="):
+                kw["sim_tile"] = int(f.split("=")[1])
         run(name, b, 5.0, **kw)

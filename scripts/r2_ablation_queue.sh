@@ -34,6 +34,10 @@ run python scripts/perf_ablation.py one b128_simpallas 128 remat chunks=4 simpal
 run python scripts/perf_ablation.py one b128_simpallas_nochunk 128 remat simpallas
 run python scripts/perf_ablation.py one b128_simpallas_plain 128 simpallas
 
+# 3b. kernel tile sweep: tile_i=32 halves per-pair image DMA loads and
+# doubles the matmul M dim (288 -> 576 rows on the MXU)
+run python scripts/perf_ablation.py one b128_simpallas_tile32 128 remat chunks=4 simpallas tile=32
+
 # 4. re-measure the round-1 (voided) Pallas word-attention A/B honestly
 run python scripts/perf_ablation.py one b128_wordattn_pallas 128 remat chunks=4 pallas
 
