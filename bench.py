@@ -17,6 +17,9 @@ number that matters and is recorded per round in BENCH_r{N}.json.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -26,7 +29,30 @@ import numpy as np
 REFERENCE_IMAGES_PER_SEC = 20.0  # unpublished; conservative single-GPU estimate
 
 
+def _backend_usable(timeout: int = 300) -> bool:
+    """Probe the preloaded backend in a SUBPROCESS with a hard timeout.
+
+    The axon TPU tunnel goes down for hours at a time, and a dead tunnel
+    HANGS backend init rather than erroring — a bench that probes in-process
+    would never print its JSON line.  The probe is a tiny matmul with a host
+    value fetch (block_until_ready does not fence on axon — CLAUDE.md)."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "x = jnp.ones((256, 256)); print(float((x @ x).sum()))"],
+            capture_output=True, timeout=timeout,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu" and not _backend_usable():
+        # Dead tunnel: fall back to an honest CPU smoke number (the metric
+        # name carries the platform) instead of hanging the driver.
+        jax.config.update("jax_platforms", "cpu")
     from sba_gan_tpu.config import cfg_from_dict
     from sba_gan_tpu.train import (
         build_models,
