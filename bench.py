@@ -49,9 +49,12 @@ def _backend_usable(timeout: int = 300) -> bool:
 
 
 def main():
-    if os.environ.get("JAX_PLATFORMS", "") != "cpu" and not _backend_usable():
-        # Dead tunnel: fall back to an honest CPU smoke number (the metric
-        # name carries the platform) instead of hanging the driver.
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu" or not _backend_usable():
+        # Dead tunnel (or CPU explicitly requested): fall back to an honest
+        # CPU smoke number instead of hanging the driver.  The config
+        # update is required even when the env var is set: under the axon
+        # sitecustomize the env var alone does NOT switch the backend, and
+        # a dead tunnel then hangs backend init (CLAUDE.md).
         jax.config.update("jax_platforms", "cpu")
     from sba_gan_tpu.config import cfg_from_dict
     from sba_gan_tpu.train import (
@@ -169,16 +172,24 @@ def main():
     assert all(np.isfinite(v) for v in final.values()), final
 
     ips = b * k * measure / best_dt
-    print(
-        json.dumps(
-            {
-                "metric": f"gan_train_step_images_per_sec_256px_{platform}",
-                "value": round(ips, 2),
-                "unit": "images/sec",
-                "vs_baseline": round(ips / REFERENCE_IMAGES_PER_SEC, 2),
-            }
-        )
-    )
+    if platform == "tpu":
+        out = {
+            "metric": "gan_train_step_images_per_sec_256px_tpu",
+            "value": round(ips, 2),
+            "unit": "images/sec",
+            "vs_baseline": round(ips / REFERENCE_IMAGES_PER_SEC, 2),
+        }
+    else:
+        # Outage fallback: tiny dims on CPU.  The value is a liveness smoke
+        # check, comparable to nothing — name it so and don't emit a ratio
+        # that could be plotted against the TPU numbers.
+        out = {
+            "metric": "gan_train_step_images_per_sec_cpu_smoke",
+            "value": round(ips, 2),
+            "unit": "images/sec",
+            "vs_baseline": None,
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

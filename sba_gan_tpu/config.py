@@ -197,10 +197,16 @@ def default_config() -> ConfigDict:
                 # or 'pallas' (fused flash-style kernel, ops/damsm_sim.py —
                 # no (B,B,T,R) grid in HBM; the words loss is HBM-bound in
                 # the dense form).  'interpret' runs the kernel on CPU.
+                # Any flip of the default to 'pallas' is gated on
+                # scripts/check_sim_kernel_tpu.py passing on the real TPU
+                # (Mosaic compile + numerics), not just interpret parity.
                 "DAMSM_SIM_IMPL": "xla",
                 # text tile per kernel grid step; must divide the batch
                 # (otherwise words_loss falls back to the XLA path).
                 "DAMSM_SIM_TILE": 16,
+                # XLA dense path: fold the Eq.8 word-softmax into Eq.9
+                # (one fewer (B,B,T,R) materialization; same math).
+                "DAMSM_FOLD_SOFTMAX": False,
                 # K train steps per dispatch in the training loop
                 # (lax.scan fusion, make_gan_train_multistep) — amortizes
                 # per-dispatch overhead on low-latency runtimes.  The

@@ -20,6 +20,7 @@ excluded (-inf) from the contrastive softmax, mirroring losses.py:24-34.
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Tuple
 
 import jax
@@ -27,6 +28,23 @@ import jax.numpy as jnp
 
 NEG_INF = -1e9
 EPS = 1e-8
+
+_FALLBACK_WARNED = False
+
+
+def _warn_fallback(impl: str, reason: str) -> None:
+    """One-time warning when a non-'xla' impl silently takes the dense XLA
+    path, so a perf A/B can never mislabel the measured implementation
+    (advisor round-2 finding)."""
+    global _FALLBACK_WARNED
+    if not _FALLBACK_WARNED:
+        _FALLBACK_WARNED = True
+        warnings.warn(
+            f"words_loss impl={impl!r} fell back to the dense XLA grid "
+            f"({reason}); measurements in this process exercise the XLA "
+            "path, not the kernel.",
+            stacklevel=3,
+        )
 
 
 def _class_mask(class_ids: jax.Array) -> jax.Array:
@@ -84,6 +102,7 @@ def words_loss(
     grid_chunks: int = 1,
     impl: str = "xla",
     tile_i: int = 16,
+    fold_softmax: bool = False,
 ):
     """Word-level DAMSM loss (reference words_loss, losses.py:62-132), fully
     batched.
@@ -114,12 +133,25 @@ def words_loss(
     materializes the (B,B,T,R) grid in HBM, custom flash VJP; falls back
     to XLA when return_attn is requested or B % tile_i != 0.
     'interpret' — the Pallas kernel on the CPU interpreter (tests).
+
+    fold_softmax (XLA path only): compute Eq. 9 directly from the raw
+    scores — attn = softmax_r(gamma1 * exp(scores - logsumexp_t(scores)))
+    — instead of materializing the Eq. 8 softmax output first.  Same math
+    (exp(x - lse(x)) IS the softmax, including the fully-masked-row
+    uniform limit), one fewer (B, B, T, R) HBM materialization on the
+    dense path.  cfg.JAX.DAMSM_FOLD_SOFTMAX.
     """
     img = img_features.astype(jnp.float32)
     words = words_emb.astype(jnp.float32)
     b, t, d = words.shape
     r = img.shape[1]
 
+    if impl != "xla" and (return_attn or b % tile_i != 0):
+        _warn_fallback(
+            impl,
+            "return_attn requested" if return_attn
+            else f"batch {b} not divisible by tile_i {tile_i}",
+        )
     if impl != "xla" and not return_attn and b % tile_i == 0:
         from sba_gan_tpu.ops.damsm_sim import damsm_sim
 
@@ -150,10 +182,22 @@ def words_loss(
             "itd,jrd->ijtr", words_e, img_chunk_e,
             preferred_element_type=jnp.float32
         )
-        # Eq. 8: softmax over words of text i (valid words only).
-        attn = jax.nn.softmax(jnp.where(wmask, scores, NEG_INF), axis=2)
-        # Eq. 9: gamma1-sharpened softmax over regions.
-        attn = jax.nn.softmax(gamma1 * attn, axis=3)
+        masked = jnp.where(wmask, scores, NEG_INF)
+        if fold_softmax:
+            # Eq. 8 folded into Eq. 9: softmax_t(x) == exp(x - lse_t(x)),
+            # so the word-softmax never needs its own (B,B,T,R) output —
+            # only the (B,B,1,R) log-normalizer.  Bitwise-different but
+            # mathematically identical to the two-pass form (incl. the
+            # fully-masked-row uniform limit: exp(-1e9 - (-1e9 + log T))
+            # = 1/T).
+            lse_t = jax.scipy.special.logsumexp(masked, axis=2,
+                                                keepdims=True)
+            attn = jax.nn.softmax(gamma1 * jnp.exp(masked - lse_t), axis=3)
+        else:
+            # Eq. 8: softmax over words of text i (valid words only).
+            attn = jax.nn.softmax(masked, axis=2)
+            # Eq. 9: gamma1-sharpened softmax over regions.
+            attn = jax.nn.softmax(gamma1 * attn, axis=3)
         # Weighted region context per (text, image, word).
         context = jnp.einsum(
             "ijtr,jrd->ijtd", attn.astype(einsum_dtype), img_chunk_e,

@@ -19,7 +19,7 @@ instead of -inf so that a fully-masked row produces zeros instead of NaN
 have >= 1 word, so results agree).
 
 The fused Pallas path for the generator-side attention lives in
-``sba_gan_tpu.ops.attention_pallas``; this module is the XLA reference
+``sba_gan_tpu.ops.word_attention``; this module is the XLA reference
 implementation and the fallback for non-TPU backends.
 """
 

@@ -173,6 +173,7 @@ class DAMSMTrainer:
                 gamma1=gamma1, gamma2=gamma2, gamma3=gamma3,
                 einsum_dtype=loss_dtype, impl=cfg.JAX.DAMSM_SIM_IMPL,
                 tile_i=cfg.JAX.DAMSM_SIM_TILE,
+                fold_softmax=cfg.JAX.DAMSM_FOLD_SOFTMAX,
             )
             s0, s1 = sent_loss(code, sent_emb, labels, class_ids, gamma3=gamma3)
             total = w0 + w1 + s0 + s1

@@ -199,8 +199,18 @@ def make_gan_train_step(cfg, models: GANModels, mesh=None):
     grid_chunks = cfg.JAX.DAMSM_GRID_CHUNKS
     sim_impl = cfg.JAX.DAMSM_SIM_IMPL
     sim_tile = cfg.JAX.DAMSM_SIM_TILE
+    fold_softmax = cfg.JAX.DAMSM_FOLD_SOFTMAX
     loss_dtype = (jnp.bfloat16 if cfg.JAX.LOSS_DTYPE == "bfloat16"
                   else jnp.float32)
+    # Observability: name the active words-loss implementation once at
+    # step-build time so no bench/ablation can silently measure the wrong
+    # path (the kernel falls back to XLA when B % tile != 0 — a one-time
+    # warning fires in losses/damsm.py if that happens).
+    if smooth_lambda > 0:
+        print(f"[sba_gan_tpu] GAN step build: DAMSM_SIM_IMPL={sim_impl} "
+              f"tile={sim_tile} chunks={damsm_chunks} "
+              f"grid_chunks={grid_chunks} loss_dtype={cfg.JAX.LOSS_DTYPE}",
+              flush=True)
     g_tx, d_tx = gan_optimizers(cfg)
     generator = models.generator
     text_encoder = models.text_encoder
@@ -360,6 +370,7 @@ def make_gan_train_step(cfg, models: GANModels, mesh=None):
                 gamma1=gamma1, gamma2=gamma2, gamma3=gamma3,
                 einsum_dtype=loss_dtype, grid_chunks=grid_chunks,
                 impl=sim_impl, tile_i=sim_tile,
+                fold_softmax=fold_softmax,
             )
             s0, s1 = sent_loss(code, sent_emb, match_labels, class_ids, gamma3=gamma3)
             w_loss = (w0 + w1) * smooth_lambda

@@ -60,7 +60,7 @@ def make_args(cfg, b):
 
 def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
         remat_g=False, loss_dtype="float32", grid_chunks=1,
-        sim_impl="xla", sim_tile=16):
+        sim_impl="xla", sim_tile=16, fold_softmax=False):
     cfg = cfg_from_dict(
         {
             "TREE": {"BRANCH_NUM": 3},
@@ -74,7 +74,8 @@ def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
                     "REMAT_GENERATOR": remat_g, "LOSS_DTYPE": loss_dtype,
                     "DAMSM_GRID_CHUNKS": grid_chunks,
                     "DAMSM_SIM_IMPL": sim_impl,
-                    "DAMSM_SIM_TILE": sim_tile},
+                    "DAMSM_SIM_TILE": sim_tile,
+                    "DAMSM_FOLD_SOFTMAX": fold_softmax},
         }
     )
     models = build_models(cfg, 5450)
@@ -124,6 +125,7 @@ if __name__ == "__main__":
         kw = dict(remat="remat" in flags, remat_g="rematg" in flags,
                   use_pallas="pallas" in flags,
                   sim_impl="pallas" if "simpallas" in flags else "xla",
+                  fold_softmax="fold" in flags,
                   loss_dtype="float32" if "lossf32" in flags else "bfloat16")
         for f in flags:
             if f.startswith("chunks="):

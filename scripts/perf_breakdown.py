@@ -13,7 +13,10 @@ perf_ablation.py).  Modes:
     python scripts/perf_breakdown.py inception_vjp 128# encode fwd+grad
     python scripts/perf_breakdown.py gfwd 128         # generator forward
     python scripts/perf_breakdown.py gvjp 128         # generator fwd+vjp
-    python scripts/perf_breakdown.py dsteps 128       # 3 D updates only
+    python scripts/perf_breakdown.py dsteps 128       # full step, LAMBDA=5
+                                                      # (the full-step side
+                                                      # of the nodamsm A/B;
+                                                      # NOT a D-only slice)
     python scripts/perf_breakdown.py text 128         # bi-LSTM encode
     python scripts/perf_breakdown.py nodamsm 128      # full step, LAMBDA=0
     python scripts/perf_breakdown.py damsmloss 128    # words+sent loss f/b
@@ -143,7 +146,8 @@ def main():
             w0, w1 = words_loss(region, words, labels, lens, cls,
                                 einsum_dtype=jnp.bfloat16,
                                 grid_chunks=int(os.environ.get("GRID", "1")),
-                                impl=os.environ.get("SIM_IMPL", "xla"))
+                                impl=os.environ.get("SIM_IMPL", "xla"),
+                                fold_softmax=os.environ.get("FOLD") == "1")
             s0, s1 = sent_loss(code, sent, labels, cls)
             return w0 + w1 + s0 + s1
 

@@ -9,9 +9,13 @@
 # jax process alongside the command once it starts.
 #
 # Usage: bash scripts/tpu_poll_and_run.sh [attempts] [sleep_s] -- cmd...
-ATTEMPTS=${1:-40}
-SLEEP=${2:-480}
-shift 2
+# attempts/sleep_s are genuinely optional: `tpu_poll_and_run.sh -- cmd`
+# uses the defaults (the round-2 version mis-parsed '--' as ATTEMPTS and
+# exited 0 without running anything — advisor finding).
+ATTEMPTS=40
+SLEEP=480
+if [ "$1" != "--" ] && [ -n "$1" ]; then ATTEMPTS=$1; shift; fi
+if [ "$1" != "--" ] && [ -n "$1" ]; then SLEEP=$1; shift; fi
 [ "$1" = "--" ] && shift
 
 for i in $(seq 1 "$ATTEMPTS"); do

@@ -207,3 +207,44 @@ def test_words_loss_grid_chunks_bit_identical(rng):
     with pytest.raises(AssertionError):
         words_loss(img, words, labels, lens, cids, grid_chunks=4,
                    return_attn=True)
+
+
+def test_words_loss_fold_softmax_matches_two_pass(rng):
+    """DAMSM_FOLD_SOFTMAX computes Eq.9 from exp(scores - lse_t(scores))
+    instead of materializing the Eq.8 softmax output; values and grads
+    must match the two-pass form (same math, different fp path), incl.
+    with padding garbage present."""
+    from sba_gan_tpu.losses.damsm import words_loss
+
+    b, t, r, d = 8, 5, 9, 16
+    img = jnp.asarray(rng.standard_normal((b, r, d)).astype(np.float32))
+    words = np.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+    lens = rng.integers(2, t + 1, (b,)).astype(np.int32)
+    for i in range(b):
+        words[i, lens[i]:] = 37.0  # garbage in padded slots
+    words = jnp.asarray(words)
+    lens = jnp.asarray(lens)
+    cids = jnp.asarray(rng.integers(0, 3, (b,)).astype(np.int32))
+    labels = jnp.arange(b)
+
+    two = words_loss(img, words, labels, lens, cids)
+    fold = words_loss(img, words, labels, lens, cids, fold_softmax=True)
+    for a, c in zip(two, fold):
+        np.testing.assert_allclose(float(a), float(c), rtol=1e-5)
+
+    g_two = jax.grad(
+        lambda i, w: sum(words_loss(i, w, labels, lens, cids)),
+        argnums=(0, 1))(img, words)
+    g_fold = jax.grad(
+        lambda i, w: sum(words_loss(i, w, labels, lens, cids,
+                                    fold_softmax=True)),
+        argnums=(0, 1))(img, words)
+    for a, c in zip(g_two, g_fold):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-6)
+
+    # chunked grid path composes with fold
+    fold_c = words_loss(img, words, labels, lens, cids, fold_softmax=True,
+                        grid_chunks=4)
+    for a, c in zip(fold, fold_c):
+        np.testing.assert_allclose(float(a), float(c), rtol=1e-6)
