@@ -184,6 +184,13 @@ def default_config() -> ConfigDict:
                 # the earlier speed comparison for this flag predates the
                 # honest timing fence and is void (NOTES.md).
                 "REMAT_GENERATOR": False,
+                # 'full' recomputes the whole G forward in the backward
+                # (round-1: compile blew past 25 min at b128 over the
+                # tunnel); 'stages' saves only the checkpoint_name-tagged
+                # stage-boundary tensors (models/generator.py) and
+                # recomputes within stages — nearly the same residual
+                # savings with a much smaller recompute graph.
+                "REMAT_GENERATOR_MODE": "stages",
                 # Split the DAMSM Inception pass into N sequential chunks
                 # (lax.map): peak activation memory divides by N at the cost
                 # of serialization — combine with REMAT_IMAGE_ENCODER for

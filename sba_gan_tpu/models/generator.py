@@ -149,16 +149,29 @@ class GNet(nn.Module):
             w_code2 = w_code3 = mapping(z)
             z0 = z
 
+        # Stage-boundary activations are tagged for the per-stage remat
+        # policy (cfg.JAX.REMAT_GENERATOR_MODE='stages',
+        # train/gan.py): jax.checkpoint(..., save_only_these_names
+        # ('g_stage')) keeps ONLY these small (B,H,W,C) boundary tensors
+        # and recomputes within-stage activations in the backward pass —
+        # near full-remat memory savings at a fraction of the recompute.
+        from jax.ad_checkpoint import checkpoint_name
+
+        c_code = checkpoint_name(c_code, "g_stage")
+        w_code2 = checkpoint_name(w_code2, "g_stage")
+        w_code3 = checkpoint_name(w_code3, "g_stage")
         if self.branch_num > 0:
             h1 = InitStageG(ngf * 16, z_concat=self.z_concat, dtype=self.dtype)(
                 z0, c_code, train
             )
+            h1 = checkpoint_name(h1, "g_stage")
             fake_imgs.append(GetImageG(dtype=self.dtype)(h1))
         if self.branch_num > 1:
             h2, att1 = NextStageG(
                 ngf, num_residual=self.num_residual,
                 attn_impl=self.attn_impl, dtype=self.dtype,
             )(h1, c_code, w_code2, word_embs, pad_mask, train)
+            h2 = checkpoint_name(h2, "g_stage")
             fake_imgs.append(GetImageG(dtype=self.dtype)(h2))
             att_maps.append(att1)
         if self.branch_num > 2:
@@ -166,6 +179,7 @@ class GNet(nn.Module):
                 ngf, num_residual=self.num_residual,
                 attn_impl=self.attn_impl, dtype=self.dtype,
             )(h2, c_code, w_code3, word_embs, pad_mask, train)
+            h3 = checkpoint_name(h3, "g_stage")
             fake_imgs.append(GetImageG(dtype=self.dtype)(h3))
             att_maps.append(att2)
 

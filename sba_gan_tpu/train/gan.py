@@ -195,6 +195,7 @@ def make_gan_train_step(cfg, models: GANModels, mesh=None):
     smooth_lambda = cfg.TRAIN.SMOOTH.LAMBDA
     remat_image_encoder = cfg.JAX.REMAT_IMAGE_ENCODER
     remat_generator = cfg.JAX.REMAT_GENERATOR
+    remat_mode = cfg.JAX.REMAT_GENERATOR_MODE
     damsm_chunks = cfg.JAX.DAMSM_CHUNKS
     grid_chunks = cfg.JAX.DAMSM_GRID_CHUNKS
     sim_impl = cfg.JAX.DAMSM_SIM_IMPL
@@ -246,10 +247,21 @@ def make_gan_train_step(cfg, models: GANModels, mesh=None):
             )
             return (tuple(fakes), mu, logvar), (att, mut["batch_stats"])
 
-        # REMAT_GENERATOR: keep no G residuals — the backward recomputes the
-        # G forward once.  The G activation chain is the biggest residual
+        # REMAT_GENERATOR: the G activation chain is the biggest residual
         # consumer in the step (measured: plain batch 128 HBM-thrashes).
-        g_fwd = jax.checkpoint(g_forward) if remat_generator else g_forward
+        # mode 'full' keeps NO residuals (whole-G recompute; round-1
+        # compile blew up at b128); mode 'stages' keeps only the
+        # checkpoint_name-tagged stage boundaries (models/generator.py)
+        # and recomputes within stages.
+        if remat_generator:
+            if remat_mode == "stages":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "g_stage")
+                g_fwd = jax.checkpoint(g_forward, policy=policy)
+            else:
+                g_fwd = jax.checkpoint(g_forward)
+        else:
+            g_fwd = g_forward
         (fakes, mu, logvar), g_vjp, (_, g_new_bs) = jax.vjp(
             g_fwd, state.g.params, has_aux=True
         )

@@ -60,7 +60,8 @@ def make_args(cfg, b):
 
 def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
         remat_g=False, loss_dtype="float32", grid_chunks=1,
-        sim_impl="xla", sim_tile=16, fold_softmax=False):
+        sim_impl="xla", sim_tile=16, fold_softmax=False,
+        remat_g_mode="stages"):
     cfg = cfg_from_dict(
         {
             "TREE": {"BRANCH_NUM": 3},
@@ -71,7 +72,9 @@ def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
                                  "GAMMA3": 10.0, "LAMBDA": lam}},
             "JAX": {"DTYPE": "bfloat16", "USE_PALLAS": use_pallas,
                     "REMAT_IMAGE_ENCODER": remat, "DAMSM_CHUNKS": chunks,
-                    "REMAT_GENERATOR": remat_g, "LOSS_DTYPE": loss_dtype,
+                    "REMAT_GENERATOR": remat_g,
+                    "REMAT_GENERATOR_MODE": remat_g_mode,
+                    "LOSS_DTYPE": loss_dtype,
                     "DAMSM_GRID_CHUNKS": grid_chunks,
                     "DAMSM_SIM_IMPL": sim_impl,
                     "DAMSM_SIM_TILE": sim_tile,
@@ -122,7 +125,9 @@ if __name__ == "__main__":
         #                    [chunks=N] [grid=N] [lossf32]
         name, b = sys.argv[2], int(sys.argv[3])
         flags = set(sys.argv[4:])
-        kw = dict(remat="remat" in flags, remat_g="rematg" in flags,
+        kw = dict(remat="remat" in flags,
+                  remat_g=("rematg" in flags or "rematgfull" in flags),
+                  remat_g_mode="full" if "rematgfull" in flags else "stages",
                   use_pallas="pallas" in flags,
                   sim_impl="pallas" if "simpallas" in flags else "xla",
                   fold_softmax="fold" in flags,

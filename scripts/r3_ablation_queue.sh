@@ -65,6 +65,9 @@ run python scripts/perf_ablation.py one b256_simpallas_rematg 256 remat chunks=8
 
 # 6. honest inference throughput (replaces round 1's voided figure)
 run python scripts/perf_breakdown.py sample 128
+# 6b. r3: single-caption REST latency on-chip (reference eval/main.py
+# publishes per-request elapsed; CPU figure measured in NOTES)
+run python scripts/serving_latency.py -n 5
 
 # 7. finer sink naming for the non-DAMSM 168 ms (NOTES perf table):
 # generator fwd+vjp, bi-LSTM encode, full step at LAMBDA=0 re-check

@@ -281,3 +281,24 @@ def test_multistep_matches_sequential_steps():
                     jax.tree_util.tree_leaves(state_b.g.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=0, atol=1e-3)
+
+
+def test_staged_generator_remat_matches_plain(rng):
+    """REMAT_GENERATOR with mode='stages' (save only the checkpoint_name
+    'g_stage' boundaries) is a pure memory lever: one step's losses must
+    match the no-remat step, and so must mode='full'."""
+    cfg_a = tiny_cfg(**{"TREE.BRANCH_NUM": 2})
+    models = build_models(cfg_a, N_WORDS)
+    state = init_gan_state(cfg_a, models, jax.random.PRNGKey(0))
+    imgs, captions, cap_lens, class_ids = make_batch(cfg_a, rng, 8)
+    args = (state, imgs, captions, cap_lens, class_ids, jax.random.PRNGKey(9))
+    _, logs_a = jax.jit(make_gan_train_step(cfg_a, models))(*args)
+    for mode in ("stages", "full"):
+        cfg_b = tiny_cfg(**{"TREE.BRANCH_NUM": 2,
+                            "JAX.REMAT_GENERATOR": True,
+                            "JAX.REMAT_GENERATOR_MODE": mode})
+        _, logs_b = jax.jit(make_gan_train_step(cfg_b, models))(*args)
+        for k in logs_a:
+            np.testing.assert_allclose(float(logs_b[k]), float(logs_a[k]),
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=f"{mode}:{k}")
