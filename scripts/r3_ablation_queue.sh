@@ -74,6 +74,9 @@ run python scripts/serving_latency.py -n 5
 run python scripts/perf_breakdown.py gvjp 128
 run python scripts/perf_breakdown.py text 128
 run python scripts/perf_breakdown.py nodamsm 128
+# 7b. r3: XLA op-level trace of the LAMBDA=0 step (relative shares only;
+# tunnel timing skew documented in the script header)
+run python scripts/capture_trace.py 128 0.0 /tmp/sba_trace_lam0
 
 # 8. r3: the bench line itself, on-chip, at the current default operating
 # point (flip DAMSM_SIM_IMPL in bench.py manually once 0-5 say the kernel

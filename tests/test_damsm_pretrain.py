@@ -7,11 +7,14 @@ import pytest
 
 from sba_gan_tpu.config import cfg_from_dict
 from sba_gan_tpu.train.damsm import (
+
     DAMSMTrainer,
     build_damsm_models,
     epoch_lr,
     image_trainable_mask,
 )
+
+pytestmark = pytest.mark.slow  # compiles jitted steps / subprocess meshes (quick tier: -m 'not slow')
 
 N_WORDS = 30
 

@@ -4,6 +4,7 @@ parity vs the dense-grid XLA words_loss, forward and flash backward."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sba_gan_tpu.losses.damsm import words_loss
 from sba_gan_tpu.ops.damsm_sim import damsm_sim
@@ -70,6 +71,7 @@ def test_sim_matches_grid_formula(rng):
     np.testing.assert_allclose(float(sim[2, 3]), expect, rtol=1e-5)
 
 
+@pytest.mark.slow  # compiles two full GAN steps (~2 min on this host)
 def test_gan_step_with_kernel_matches_xla(rng):
     """Full GAN train step with JAX.DAMSM_SIM_IMPL=interpret produces the
     same losses as the dense-grid XLA path — the kernel integrates into

@@ -1,5 +1,6 @@
 """FID evaluator tests: identity -> 0, analytic gaussian case, pipeline."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +12,8 @@ from sba_gan_tpu.evaluation.fid import (
     make_activation_fn,
 )
 from sba_gan_tpu.models.inception import InceptionV3Backbone
+
+pytestmark = pytest.mark.slow  # compiles jitted steps / subprocess meshes (quick tier: -m 'not slow')
 
 
 def test_identical_stats_zero():

@@ -2,6 +2,7 @@
 state dict from an initialized Flax GNet and verify the converter fills the
 exact same tree (names, shapes, transposes)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,6 +10,8 @@ import numpy as np
 from sba_gan_tpu.config import cfg_from_dict
 from sba_gan_tpu.models.generator import build_generator
 from sba_gan_tpu.utils.torch_port import port_g_net
+
+pytestmark = pytest.mark.slow  # compiles jitted steps / subprocess meshes (quick tier: -m 'not slow')
 
 
 def _flatten(tree, prefix=()):

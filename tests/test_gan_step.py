@@ -14,11 +14,14 @@ import pytest
 from sba_gan_tpu.config import cfg_from_dict
 from sba_gan_tpu.parallel import batch_sharding, make_mesh, replicated
 from sba_gan_tpu.train import (
+
     build_models,
     init_gan_state,
     make_gan_train_step,
     make_sample_fn,
 )
+
+pytestmark = pytest.mark.slow  # compiles jitted steps / subprocess meshes (quick tier: -m 'not slow')
 
 N_WORDS = 30
 

@@ -21,6 +21,8 @@ from sba_gan_tpu.models.gen2 import (
 )
 from sba_gan_tpu.train.gen2 import Gen2Trainer
 
+pytestmark = pytest.mark.slow  # compiles jitted steps / subprocess meshes (quick tier: -m 'not slow')
+
 TINY_BERT = dict(
     vocab_size=50,
     hidden_size=16,

@@ -10,6 +10,8 @@ from PIL import Image
 
 from sba_gan_tpu.data.multires import build_multires
 
+pytestmark = pytest.mark.slow  # compiles jitted steps / subprocess meshes (quick tier: -m 'not slow')
+
 TINY_YML = """
 CONFIG_NAME: "gen2_tiny"
 GEN2:

@@ -12,6 +12,8 @@ from sba_gan_tpu.models.progressive import (
 )
 from sba_gan_tpu.train.progressive import ProgressiveTrainer
 
+pytestmark = pytest.mark.slow  # compiles jitted steps / subprocess meshes (quick tier: -m 'not slow')
+
 
 @pytest.fixture(scope="module")
 def trainer():

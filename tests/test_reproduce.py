@@ -23,6 +23,8 @@ from sba_gan_tpu.models.generator import build_generator
 
 from test_g_net_port import _flatten, _to_torch, _torch_name
 
+pytestmark = pytest.mark.slow  # compiles jitted steps / subprocess meshes (quick tier: -m 'not slow')
+
 TINY = {
     "GAN": {"GF_DIM": 4, "DF_DIM": 8, "Z_DIM": 8, "W_DIM": 16,
             "CONDITION_DIM": 8, "R_NUM": 2},

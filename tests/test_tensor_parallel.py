@@ -17,6 +17,8 @@ import pytest
 
 from sba_gan_tpu.parallel import make_mesh, tensor_constraint
 
+pytestmark = pytest.mark.slow  # compiles jitted steps / subprocess meshes (quick tier: -m 'not slow')
+
 
 def test_tensor_constraint_none_without_model_axis(cpu_devices):
     mesh = make_mesh(devices=cpu_devices)  # model=1

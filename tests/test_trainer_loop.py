@@ -13,6 +13,8 @@ from sba_gan_tpu.train.loop import GANTrainer
 from sba_gan_tpu.utils.image import make_grid, to_uint8
 from sba_gan_tpu.utils.viz import build_super_images
 
+pytestmark = pytest.mark.slow  # compiles jitted steps / subprocess meshes (quick tier: -m 'not slow')
+
 N_WORDS = 40
 
 
