@@ -85,8 +85,9 @@ def _pair_forward(w, x, valid, gamma1, gamma2, mm_dtype):
 def _pair_backward(w, x, valid, g, gamma1, gamma2, mm_dtype):
     """Recompute the pair forward and return (d_w (TI,T,D), d_x (R,D)).
 
-    g (TI,) is d_sim[i, j] for this tile's texts against image j; the
-    logsumexp jacobian (softmax of rs over valid words) is applied here."""
+    g (TI, 1) is d_sim[i, j] for this tile's texts against image j (kept
+    2D — TPU kernels avoid 1D vectors); the logsumexp jacobian (softmax
+    of rs over valid words) is applied here."""
     ti, t, d = w.shape
     r = x.shape[0]
     rs, a1, a2, c = _pair_forward(w, x, valid, gamma1, gamma2, mm_dtype)
@@ -94,7 +95,7 @@ def _pair_backward(w, x, valid, g, gamma1, gamma2, mm_dtype):
     m = jnp.max(rs, axis=1, keepdims=True)
     e = jnp.where(valid, jnp.exp(rs - m), 0.0)
     p = e / jnp.sum(e, axis=1, keepdims=True)
-    d_rs = g[:, None] * p  # (TI, T); zero at invalid t
+    d_rs = g * p  # (TI, T); zero at invalid t
     num = jnp.sum(w * c, axis=2)
     wn = jnp.sqrt(jnp.sum(w * w, axis=2))
     cn = jnp.sqrt(jnp.sum(c * c, axis=2))
@@ -147,21 +148,31 @@ def _pair_backward(w, x, valid, g, gamma1, gamma2, mm_dtype):
 # Kernels
 # --------------------------------------------------------------------------
 def _fwd_kernel(gamma1, gamma2, mm_dtype, w_ref, x_ref, v_ref, sim_ref):
+    # sim_ref holds the full (TI, B_img) row block (Mosaic requires the
+    # minor block dim to be 128-divisible or the whole array dim — a
+    # (TI, 1) column block is not lowerable); each grid step fills the
+    # column of the image j it computed.  The block's index_map is
+    # constant over j (the fastest grid axis), so it stays resident in
+    # VMEM across the j sweep and is written back once fully populated.
+    j = pl.program_id(1)
     rs, _, _, _ = _pair_forward(
         w_ref[...], x_ref[0], v_ref[...] != 0, gamma1, gamma2, mm_dtype
     )
     # logsumexp over valid words (rs is NEG_INF at invalid positions).
     m = jnp.max(rs, axis=1, keepdims=True)
-    sim_ref[...] = (m + jnp.log(
-        jnp.sum(jnp.exp(rs - m), axis=1, keepdims=True)
-    )).astype(sim_ref.dtype)
+    col = m + jnp.log(jnp.sum(jnp.exp(rs - m), axis=1, keepdims=True))
+    sim_ref[:, pl.ds(j, 1)] = col.astype(sim_ref.dtype)
 
 
 def _dimg_kernel(gamma1, gamma2, mm_dtype, w_ref, x_ref, v_ref, g_ref,
                  dx_ref):
+    # g_ref is the full (TI, B_img) row block of the sim cotangent (same
+    # Mosaic minor-dim rule as the forward); this pair's column is j =
+    # program_id(0) (image-major grid).
+    j = pl.program_id(0)
     i = pl.program_id(1)
     _, d_x = _pair_backward(
-        w_ref[...], x_ref[0], v_ref[...] != 0, g_ref[:, 0],
+        w_ref[...], x_ref[0], v_ref[...] != 0, g_ref[:, pl.ds(j, 1)],
         gamma1, gamma2, mm_dtype,
     )
 
@@ -178,7 +189,7 @@ def _dwords_kernel(gamma1, gamma2, mm_dtype, w_ref, x_ref, v_ref, g_ref,
                    dw_ref):
     j = pl.program_id(1)
     d_w, _ = _pair_backward(
-        w_ref[...], x_ref[0], v_ref[...] != 0, g_ref[:, 0],
+        w_ref[...], x_ref[0], v_ref[...] != 0, g_ref[:, pl.ds(j, 1)],
         gamma1, gamma2, mm_dtype,
     )
 
@@ -210,7 +221,7 @@ def _call_fwd(words, img, valid, gamma1, gamma2, tile_i, mm_dtype,
             pl.BlockSpec((tile_i, t), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_i, 1), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((tile_i, bj), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, bj), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -238,7 +249,7 @@ def _call_dimg(words, img, valid, g, gamma1, gamma2, tile_i, mm_dtype,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_i, t), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_i, 1), lambda j, i: (i, j),
+            pl.BlockSpec((tile_i, bj), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, r, d), lambda j, i: (j, 0, 0),
@@ -268,7 +279,7 @@ def _call_dwords(words, img, valid, g, gamma1, gamma2, tile_i, mm_dtype,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_i, t), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_i, 1), lambda i, j: (i, j),
+            pl.BlockSpec((tile_i, bj), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_i, t, d), lambda i, j: (i, 0, 0),
