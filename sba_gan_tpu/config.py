@@ -72,6 +72,11 @@ def default_config() -> ConfigDict:
                 # preserving the reference's small effective batch on big
                 # data-parallel meshes (no reference analogue).
                 "GRAD_ACCUM": 1,
+                # 'window': G and D both accumulate (large-batch dynamics);
+                # 'dfresh': D updates every micro-batch like the reference
+                # alternation, only G accumulates (train/state.py
+                # gan_optimizers).  EMA always commits once per G window.
+                "GRAD_ACCUM_MODE": "window",
                 "FLAG": True,
                 "NET_E": "",
                 "NET_G": "",

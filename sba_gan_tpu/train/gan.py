@@ -196,6 +196,7 @@ def make_gan_train_step(cfg, models: GANModels, mesh=None):
     remat_image_encoder = cfg.JAX.REMAT_IMAGE_ENCODER
     remat_generator = cfg.JAX.REMAT_GENERATOR
     remat_mode = cfg.JAX.REMAT_GENERATOR_MODE
+    grad_accum = cfg.TRAIN.GRAD_ACCUM
     damsm_chunks = cfg.JAX.DAMSM_CHUNKS
     grid_chunks = cfg.JAX.DAMSM_GRID_CHUNKS
     sim_impl = cfg.JAX.DAMSM_SIM_IMPL
@@ -400,7 +401,20 @@ def make_gan_train_step(cfg, models: GANModels, mesh=None):
         g_new_params = optax.apply_updates(state.g.params, updates)
 
         # ---- 5. EMA shadow (trainer.py:298-299) ----
-        g_new_ema = ema_update(state.g_ema, g_new_params, 0.999)
+        # Under GRAD_ACCUM > 1 the G update only commits every accum-th
+        # micro-step; folding the unchanged params into the EMA on the
+        # frozen micro-steps is a numeric no-op on the params but advances
+        # the EMA 'age' (round-2 advisor deviation note) — gate the EMA on
+        # the window commit so accumulation replays the reference's
+        # per-update EMA cadence exactly.  accum == 1 -> always commits.
+        if grad_accum > 1:
+            committed = (state.step + 1) % grad_accum == 0
+            g_new_ema = jax.tree.map(
+                lambda folded, old: jnp.where(committed, folded, old),
+                ema_update(state.g_ema, g_new_params, 0.999), state.g_ema,
+            )
+        else:
+            g_new_ema = ema_update(state.g_ema, g_new_params, 0.999)
 
         logs.update(glogs)
         logs["errG"] = g_total

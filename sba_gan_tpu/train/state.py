@@ -56,15 +56,16 @@ def make_gan_adam(lr: float, grad_accum: int = 1):
     `grad_accum` steps, keeping the reference's small effective batch when
     data parallelism multiplies the global batch (SURVEY.md hard-part #6).
 
-    deviation: within an accumulation window the GAN dynamics differ from
-    the reference's per-batch alternation — D params are FROZEN during
-    micro-steps (updates apply every k-th step), so G's update inside a
-    window sees the window-start Ds rather than freshly-updated ones, and
-    the EMA keeps folding in unchanged params (a no-op numerically, but the
-    EMA 'age' advances).  Equivalent to the reference only at
+    deviation (GRAD_ACCUM_MODE='window'): within an accumulation window
+    the GAN dynamics differ from the reference's per-batch alternation —
+    D params are FROZEN during micro-steps (updates apply every k-th
+    step), so G's update inside a window sees the window-start Ds rather
+    than freshly-updated ones.  Equivalent to the reference only at
     GRAD_ACCUM=1; with accumulation it is large-batch adversarial training
-    with the reference's *effective* batch, not a replay of its small-batch
-    schedule."""
+    with the reference's *effective* batch.  GRAD_ACCUM_MODE='dfresh'
+    removes the D half of the deviation (D updates every micro-batch, see
+    gan_optimizers), and the EMA now commits exactly once per G window in
+    both modes (train/gan.py)."""
     tx = optax.adam(lr, b1=0.5, b2=0.999, eps=1e-8)
     if grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
@@ -73,11 +74,22 @@ def make_gan_adam(lr: float, grad_accum: int = 1):
 
 def gan_optimizers(cfg):
     """The (g_tx, d_tx) pair; used by both state init and the train step so
-    optimizer-state pytrees always match."""
+    optimizer-state pytrees always match.
+
+    GRAD_ACCUM_MODE:
+      'window' — both G and D accumulate over the window (large-batch
+        adversarial training at the reference's effective batch; the
+        round-2 documented deviation).
+      'dfresh' — only G accumulates; every D updates on every micro-batch
+        exactly as the reference alternation does (trainer.py:258-276), so
+        G's committed update sees Ds trained on all K micro-batches — the
+        reference-faithful option when accumulation is load-bearing for
+        the small-batch IS-parity story (SURVEY hard-part #6)."""
     accum = cfg.TRAIN.GRAD_ACCUM
+    d_accum = accum if cfg.TRAIN.GRAD_ACCUM_MODE == "window" else 1
     return (
         make_gan_adam(cfg.TRAIN.GENERATOR_LR, accum),
-        make_gan_adam(cfg.TRAIN.DISCRIMINATOR_LR, accum),
+        make_gan_adam(cfg.TRAIN.DISCRIMINATOR_LR, d_accum),
     )
 
 

@@ -194,6 +194,46 @@ def test_grad_accumulation(rng):
         for a, b in zip(jax.tree.leaves(s1.g.params), jax.tree.leaves(s2.g.params))
     )
     assert moved, "params must move once the accumulation window closes"
+    # EMA commits once per window: frozen micro-step must not decay it
+    assert all(
+        np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(state.g_ema), jax.tree.leaves(s1.g_ema))
+    ), "EMA must not fold frozen params mid-window"
+    assert any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(s1.g_ema), jax.tree.leaves(s2.g_ema))
+    ), "EMA must fold the committed update"
+
+
+def test_grad_accumulation_dfresh(rng):
+    """GRAD_ACCUM_MODE='dfresh': D updates on EVERY micro-batch (the
+    reference's per-batch alternation) while G accumulates over the
+    window."""
+    cfg = tiny_cfg(**{"TRAIN.GRAD_ACCUM": 2,
+                      "TRAIN.GRAD_ACCUM_MODE": "dfresh",
+                      "TREE.BRANCH_NUM": 1})
+    models = build_models(cfg, N_WORDS)
+    state = init_gan_state(cfg, models, jax.random.PRNGKey(0))
+    step = jax.jit(make_gan_train_step(cfg, models))
+    imgs, captions, cap_lens, class_ids = make_batch(cfg, rng, 8)
+    s1, _ = step(state, imgs, captions, cap_lens, class_ids, jax.random.PRNGKey(7))
+    g_frozen = all(
+        np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(state.g.params), jax.tree.leaves(s1.g.params))
+    )
+    assert g_frozen, "G must not move on the first micro-step"
+    d_moved = any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(state.ds[0].params),
+                        jax.tree.leaves(s1.ds[0].params))
+    )
+    assert d_moved, "D must update on every micro-batch in dfresh mode"
+    s2, _ = step(s1, imgs, captions, cap_lens, class_ids, jax.random.PRNGKey(7))
+    g_moved = any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(s1.g.params), jax.tree.leaves(s2.g.params))
+    )
+    assert g_moved, "G must commit when the window closes"
 
 
 def test_dcgan_step(rng):
