@@ -86,6 +86,11 @@ def main():
                 "DTYPE": "bfloat16" if platform == "tpu" else "float32",
                 "REMAT_IMAGE_ENCODER": platform == "tpu",
                 "DAMSM_CHUNKS": 4 if platform == "tpu" else 1,
+                # A/B override for the ablation queue (scripts/
+                # r3_ablation_queue.sh); the default stays 'xla' until the
+                # on-chip parity check + A/B say the kernel wins.
+                "DAMSM_SIM_IMPL": os.environ.get("SBA_BENCH_SIM_IMPL",
+                                                 "xla"),
                 # bf16 inputs for the (B,B,T,R) words-loss einsums (f32
                 # softmax/accum); halves the grid footprint, grad cosine
                 # vs f32 = 0.99998 on-chip
