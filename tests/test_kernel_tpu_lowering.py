@@ -55,3 +55,46 @@ def test_word_attention_kernel_lowers_for_tpu(b, ql, d):
     f = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
     exp = jax.export.export(f, platforms=["tpu"])(q, s)
     assert len(exp.mlir_module_serialized) > 0
+
+
+@pytest.mark.slow  # full flagship step export ~2 min on this host
+def test_full_gan_step_lowers_for_tpu():
+    """The complete flagship train step (kernel impl + chunked remat
+    encoder + staged G remat) must lower for TPU — whole-program insurance
+    on top of the per-kernel checks above."""
+    from sba_gan_tpu.config import cfg_from_dict
+    from sba_gan_tpu.train import (
+        build_models, init_gan_state, make_gan_train_step,
+    )
+
+    cfg = cfg_from_dict({
+        "TREE": {"BRANCH_NUM": 3},
+        "GAN": {"GF_DIM": 32, "DF_DIM": 64, "Z_DIM": 100, "R_NUM": 2},
+        "TEXT": {"EMBEDDING_DIM": 256, "WORDS_NUM": 18},
+        "TRAIN": {"BATCH_SIZE": 128,
+                  "SMOOTH": {"GAMMA1": 4.0, "GAMMA2": 5.0, "GAMMA3": 10.0,
+                             "LAMBDA": 5.0}},
+        "JAX": {"DTYPE": "bfloat16", "LOSS_DTYPE": "bfloat16",
+                "REMAT_IMAGE_ENCODER": True, "DAMSM_CHUNKS": 4,
+                "DAMSM_SIM_IMPL": "pallas", "REMAT_GENERATOR": True},
+    })
+    models = build_models(cfg, 5450)
+    state = init_gan_state(cfg, models, jax.random.PRNGKey(0))
+    step = jax.jit(make_gan_train_step(cfg, models))
+
+    b, t = 128, 18
+    rng = np.random.default_rng(0)
+    imgs = tuple(
+        jnp.asarray(rng.uniform(-1, 1, (b, 64 * 2 ** i, 64 * 2 ** i, 3))
+                    .astype(np.float32))
+        for i in range(3)
+    )
+    caps = np.zeros((b, t), np.int32)
+    lens = rng.integers(4, t + 1, (b,)).astype(np.int32)
+    for i, l in enumerate(lens):
+        caps[i, :l] = rng.integers(1, 5450, (l,))
+    cls = rng.integers(0, 200, (b,)).astype(np.int32)
+    exp = jax.export.export(step, platforms=["tpu"])(
+        state, imgs, jnp.asarray(caps), jnp.asarray(lens),
+        jnp.asarray(cls), jax.random.PRNGKey(1))
+    assert len(exp.mlir_module_serialized) > 0
