@@ -28,20 +28,21 @@ def main():
     cls = jnp.asarray(rng.integers(0, 200, (b,)).astype(np.int32))
     labels = jnp.arange(b)
 
-    def loss(impl, mm):
+    def loss(impl, mm, tile):
         def f(img_, words_):
             l0, l1 = words_loss(img_, words_, labels, lens, cls,
-                                einsum_dtype=mm, impl=impl, tile_i=16)
+                                einsum_dtype=mm, impl=impl, tile_i=tile)
             return l0 + 2.0 * l1
         return f
 
     ok = True
-    for mm in (jnp.float32, jnp.bfloat16):
-        name = "f32" if mm == jnp.float32 else "bf16"
+    for mm, tile in ((jnp.float32, 16), (jnp.bfloat16, 16),
+                     (jnp.bfloat16, 32)):
+        name = ("f32" if mm == jnp.float32 else "bf16") + f"/tile{tile}"
         vx, (gi_x, gw_x) = jax.jit(jax.value_and_grad(
-            loss("xla", mm), argnums=(0, 1)))(img, words)
+            loss("xla", mm, tile), argnums=(0, 1)))(img, words)
         vp, (gi_p, gw_p) = jax.jit(jax.value_and_grad(
-            loss("pallas", mm), argnums=(0, 1)))(img, words)
+            loss("pallas", mm, tile), argnums=(0, 1)))(img, words)
         vx, vp = float(vx), float(vp)
         rel = abs(vp - vx) / max(abs(vx), 1e-9)
         gi_cos = float(jnp.sum(gi_x * gi_p) / jnp.maximum(
@@ -50,7 +51,8 @@ def main():
             jnp.linalg.norm(gw_x) * jnp.linalg.norm(gw_p), 1e-9))
         # bf16 matmul inputs: reduction-order wiggle only; both impls use
         # the same mm dtype so agreement should stay tight.
-        tol_rel, tol_cos = (1e-4, 0.9999) if name == "f32" else (5e-3, 0.999)
+        tol_rel, tol_cos = ((1e-4, 0.9999) if mm == jnp.float32
+                            else (5e-3, 0.999))
         good = rel < tol_rel and gi_cos > tol_cos and gw_cos > tol_cos
         ok &= good
         print(f"{'PASS' if good else 'FAIL'} mm={name} loss_rel={rel:.2e} "
