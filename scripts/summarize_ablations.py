@@ -1,11 +1,11 @@
-"""Summarize an r2_ablation_queue.sh log into a markdown table.
+"""Summarize an r3_ablation_queue.sh log into a markdown table.
 
 Parses the `=== cmd ===` / measurement / `rc=N` blocks appended by
-scripts/r2_ablation_queue.sh and prints one row per config with its
+scripts/r3_ablation_queue.sh and prints one row per config with its
 ms/step, img/s (when present), and exit status — the table NOTES.md and
 docs/DESIGN.md cite for the round's perf story.
 
-    python scripts/summarize_ablations.py [/tmp/r2_ablations.log]
+    python scripts/summarize_ablations.py [logs/r3_ablations.log]
 """
 
 import re
@@ -13,7 +13,7 @@ import sys
 
 
 def main():
-    path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/r2_ablations.log"
+    path = sys.argv[1] if len(sys.argv) > 1 else "logs/r3_ablations.log"
     with open(path) as f:
         text = f.read()
 
