@@ -1,0 +1,135 @@
+"""Multi-chip throughput bench: the flagship GAN train step sharded over a
+('data', 'model') mesh of ALL visible devices.
+
+BASELINE.json's scaling target is >=5x the reference GPU on a v5e-8; this
+is the measurement harness for when a pod is attached (the driver's
+bench.py stays single-chip).  On this box it runs on the 8-virtual-CPU
+mesh (--platform cpu --virtual 8) as a semantics check — those numbers
+are NOT throughput evidence, only the pod run is.
+
+Same honest fence as bench.py: a host value fetch of the last step's loss
+inside the timed window (block_until_ready does not fence on axon).
+
+Usage:
+  python scripts/pod_bench.py [--per-chip-batch 128] [--model 1]
+                              [--platform cpu] [--virtual 8] [--steps 10]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--per-chip-batch", type=int, default=128)
+    p.add_argument("--model", type=int, default=1,
+                   help="model-axis size (tensor parallelism)")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    p.add_argument("--virtual", type=int, default=0,
+                   help="force N virtual CPU devices (CPU only)")
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny dims (CPU semantics check)")
+    args = p.parse_args()
+
+    if args.virtual:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags +
+                f" --xla_force_host_platform_device_count={args.virtual}"
+            ).strip()
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sba_gan_tpu.config import cfg_from_dict
+    from sba_gan_tpu.parallel import batch_sharding, make_mesh, replicated
+    from sba_gan_tpu.train import (
+        build_models, init_gan_state, make_gan_train_step,
+    )
+
+    devices = jax.devices()
+    n = len(devices)
+    platform = devices[0].platform
+    tiny = args.tiny or platform != "tpu"
+    b = args.per_chip_batch * (n // args.model) if not tiny else 2 * n
+
+    base = {
+        "TREE": {"BRANCH_NUM": 3, "BASE_SIZE": 64},
+        "GAN": {"GF_DIM": 32, "DF_DIM": 64, "Z_DIM": 100, "R_NUM": 2},
+        "TEXT": {"EMBEDDING_DIM": 256, "WORDS_NUM": 18},
+        "TRAIN": {"BATCH_SIZE": b,
+                  "SMOOTH": {"GAMMA1": 4.0, "GAMMA2": 5.0, "GAMMA3": 10.0,
+                             "LAMBDA": 5.0}},
+        "JAX": {"DTYPE": "bfloat16", "LOSS_DTYPE": "bfloat16",
+                "REMAT_IMAGE_ENCODER": True, "DAMSM_CHUNKS": 4,
+                "MESH_MODEL": args.model},
+    }
+    if tiny:
+        base["GAN"] = {"GF_DIM": 8, "DF_DIM": 8, "Z_DIM": 8, "W_DIM": 16,
+                       "CONDITION_DIM": 8, "R_NUM": 1}
+        base["TREE"] = {"BRANCH_NUM": 2, "BASE_SIZE": 64}
+        base["TEXT"] = {"EMBEDDING_DIM": 32, "WORDS_NUM": 6}
+        base["MODEL"] = {"INCEPTION_INPUT": 75}
+        base["JAX"] = {"DTYPE": "float32", "MESH_MODEL": args.model}
+    cfg = cfg_from_dict(base)
+
+    n_words = 5450
+    models = build_models(cfg, n_words)
+    state = init_gan_state(cfg, models, jax.random.PRNGKey(0))
+    mesh = make_mesh(model=args.model)
+    bsh = batch_sharding(mesh)
+    rsh = replicated(mesh)
+    state = jax.device_put(state, rsh)
+    step = jax.jit(make_gan_train_step(cfg, models, mesh=mesh))
+
+    t = cfg.TEXT.WORDS_NUM
+    rng = np.random.default_rng(0)
+    imgs = tuple(
+        jax.device_put(
+            rng.uniform(-1, 1, (b, cfg.TREE.BASE_SIZE * 2 ** i,
+                                cfg.TREE.BASE_SIZE * 2 ** i, 3)
+                        ).astype(np.float32), bsh)
+        for i in range(cfg.TREE.BRANCH_NUM)
+    )
+    caps = np.zeros((b, t), np.int32)
+    lens = rng.integers(2, t + 1, (b,)).astype(np.int32)
+    for i, l in enumerate(lens):
+        caps[i, :l] = rng.integers(1, n_words, (l,))
+    cls = rng.integers(0, 200, (b,)).astype(np.int32)
+    batch = (imgs, jax.device_put(caps, bsh), jax.device_put(lens, bsh),
+             jax.device_put(cls, bsh), jax.random.PRNGKey(1))
+
+    state, logs = step(state, *batch)  # compile + warmup
+    float(logs["errG"])  # drain
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, logs = step(state, *batch)
+    final = float(logs["errG"])  # FENCE inside the window
+    dt = (time.perf_counter() - t0) / args.steps
+    assert np.isfinite(final), final
+
+    print(json.dumps({
+        "metric": f"gan_train_step_images_per_sec_{platform}_mesh",
+        "devices": n,
+        "mesh": {"data": n // args.model, "model": args.model},
+        "global_batch": b,
+        "ms_per_step": round(dt * 1000, 1),
+        "value": round(b / dt, 2),
+        "unit": "images/sec (global)",
+        "per_chip": round(b / dt / n, 2),
+        "note": ("tiny-dims semantics check, NOT throughput evidence"
+                 if tiny else "flagship dims"),
+    }))
+
+
+if __name__ == "__main__":
+    main()
