@@ -44,6 +44,26 @@ def main():
                 flags +
                 f" --xla_force_host_platform_device_count={args.virtual}"
             ).strip()
+    if args.platform == "cpu" and os.environ.get("SBA_POD_BENCH_CHILD") != "1":
+        # XLA-CPU's in-process communicator abort()s the whole interpreter
+        # when a virtual partition stalls past its HARDCODED 40 s
+        # rendezvous — routine on this bursty 1-core host once a TP axis
+        # adds mid-graph collectives (tests/conftest.py runs every
+        # collective-executing case in a retryable subprocess for the same
+        # reason).  Infrastructure weather, not a program property: retry
+        # in a child.
+        import subprocess
+        for attempt in range(3):
+            r = subprocess.run(
+                [sys.executable] + sys.argv,
+                env=dict(os.environ, SBA_POD_BENCH_CHILD="1"),
+            )
+            if r.returncode == 0:
+                return
+            if r.returncode not in (134, -6):
+                sys.exit(r.returncode)
+        sys.exit(r.returncode)
+
     import jax
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
