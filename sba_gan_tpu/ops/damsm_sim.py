@@ -47,19 +47,24 @@ EPS = 1e-8
 # matmul inputs in `mm_dtype` with f32 accumulation)
 # --------------------------------------------------------------------------
 def _pair_forward(w, x, valid, gamma1, gamma2, mm_dtype):
-    """w (TI, T, D) f32, x (R, D) f32, valid (TI, T) bool.
+    """w (TI, T, D) f32, x (R, D) f32, valid (TI, T) int32 (1 = real word).
 
     Returns (rs (TI, T) masked row similarities, a1, a2, c) — the
-    intermediates the backward needs."""
+    intermediates the backward needs.  The mask stays int32 and grows its
+    minor dim BEFORE the bool compare: the tunnel's Mosaic rejects
+    broadcast_in_dim that inserts a minor dim on i1 ("only supported for
+    32-bit types"), while the same insert on i32 lowers fine."""
     ti, t, d = w.shape
     r = x.shape[0]
+    valid_b = valid != 0
+    valid3 = valid[:, :, None] != 0
     w2 = w.reshape(ti * t, d)
     s = jax.lax.dot_general(
         w2.astype(mm_dtype), x.astype(mm_dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(ti, t, r)
-    s = jnp.where(valid[:, :, None], s, NEG_INF)
+    s = jnp.where(valid3, s, NEG_INF)
     # Eq. 8: softmax over words (axis 1); every text has >= 1 valid word.
     m1 = jnp.max(s, axis=1, keepdims=True)
     e1 = jnp.exp(s - m1)
@@ -78,7 +83,7 @@ def _pair_forward(w, x, valid, gamma1, gamma2, mm_dtype):
     wn = jnp.sqrt(jnp.sum(w * w, axis=2))
     cn = jnp.sqrt(jnp.sum(c * c, axis=2))
     denom = jnp.maximum(wn * cn, EPS)
-    rs = jnp.where(valid, gamma2 * num / denom, NEG_INF)
+    rs = jnp.where(valid_b, gamma2 * num / denom, NEG_INF)
     return rs, a1, a2, c
 
 
@@ -90,10 +95,12 @@ def _pair_backward(w, x, valid, g, gamma1, gamma2, mm_dtype):
     of rs over valid words) is applied here."""
     ti, t, d = w.shape
     r = x.shape[0]
+    valid_b = valid != 0
+    valid3 = valid[:, :, None] != 0  # minor-dim insert on i32, see fwd
     rs, a1, a2, c = _pair_forward(w, x, valid, gamma1, gamma2, mm_dtype)
     # logsumexp backward: d_rs = g * softmax(rs) over valid t.
     m = jnp.max(rs, axis=1, keepdims=True)
-    e = jnp.where(valid, jnp.exp(rs - m), 0.0)
+    e = jnp.where(valid_b, jnp.exp(rs - m), 0.0)
     p = e / jnp.sum(e, axis=1, keepdims=True)
     d_rs = g * p  # (TI, T); zero at invalid t
     num = jnp.sum(w * c, axis=2)
@@ -140,7 +147,7 @@ def _pair_backward(w, x, valid, g, gamma1, gamma2, mm_dtype):
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    d_w = jnp.where(valid[:, :, None], d_w, 0.0)
+    d_w = jnp.where(valid3, d_w, 0.0)
     return d_w, d_x
 
 
@@ -154,25 +161,44 @@ def _fwd_kernel(gamma1, gamma2, mm_dtype, w_ref, x_ref, v_ref, sim_ref):
     # column of the image j it computed.  The block's index_map is
     # constant over j (the fastest grid axis), so it stays resident in
     # VMEM across the j sweep and is written back once fully populated.
+    # The column write is a one-hot masked accumulate over the whole
+    # block: the tunnel's Mosaic cannot lower a dynamic lane-offset
+    # store (`sim_ref[:, pl.ds(j, 1)]` -> "index in dimension 1 must be
+    # a multiple of 128"); the (TI, B_img) select+add is noise next to
+    # the pair math.
     j = pl.program_id(1)
     rs, _, _, _ = _pair_forward(
-        w_ref[...], x_ref[0], v_ref[...] != 0, gamma1, gamma2, mm_dtype
+        w_ref[...], x_ref[0], v_ref[...], gamma1, gamma2, mm_dtype
     )
     # logsumexp over valid words (rs is NEG_INF at invalid positions).
     m = jnp.max(rs, axis=1, keepdims=True)
     col = m + jnp.log(jnp.sum(jnp.exp(rs - m), axis=1, keepdims=True))
-    sim_ref[:, pl.ds(j, 1)] = col.astype(sim_ref.dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, sim_ref.shape, 1)
+    contrib = jnp.where(lane == j, col, 0.0).astype(sim_ref.dtype)
+
+    @pl.when(j == 0)
+    def _init():
+        sim_ref[...] = contrib
+
+    @pl.when(j != 0)
+    def _acc():
+        sim_ref[...] += contrib
 
 
 def _dimg_kernel(gamma1, gamma2, mm_dtype, w_ref, x_ref, v_ref, g_ref,
                  dx_ref):
     # g_ref is the full (TI, B_img) row block of the sim cotangent (same
     # Mosaic minor-dim rule as the forward); this pair's column is j =
-    # program_id(0) (image-major grid).
+    # program_id(0) (image-major grid).  Dynamic lane-offset loads are
+    # as unlowerable as stores, so the column is extracted by a one-hot
+    # masked lane reduction.
     j = pl.program_id(0)
     i = pl.program_id(1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, g_ref.shape, 1)
+    g_col = jnp.sum(jnp.where(lane == j, g_ref[...], 0.0), axis=1,
+                    keepdims=True)
     _, d_x = _pair_backward(
-        w_ref[...], x_ref[0], v_ref[...] != 0, g_ref[:, pl.ds(j, 1)],
+        w_ref[...], x_ref[0], v_ref[...], g_col,
         gamma1, gamma2, mm_dtype,
     )
 
@@ -188,8 +214,11 @@ def _dimg_kernel(gamma1, gamma2, mm_dtype, w_ref, x_ref, v_ref, g_ref,
 def _dwords_kernel(gamma1, gamma2, mm_dtype, w_ref, x_ref, v_ref, g_ref,
                    dw_ref):
     j = pl.program_id(1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, g_ref.shape, 1)
+    g_col = jnp.sum(jnp.where(lane == j, g_ref[...], 0.0), axis=1,
+                    keepdims=True)
     d_w, _ = _pair_backward(
-        w_ref[...], x_ref[0], v_ref[...] != 0, g_ref[:, pl.ds(j, 1)],
+        w_ref[...], x_ref[0], v_ref[...], g_col,
         gamma1, gamma2, mm_dtype,
     )
 
