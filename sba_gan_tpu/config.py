@@ -219,6 +219,14 @@ def default_config() -> ConfigDict:
                 # XLA dense path: fold the Eq.8 word-softmax into Eq.9
                 # (one fewer (B,B,T,R) materialization; same math).
                 "DAMSM_FOLD_SOFTMAX": False,
+                # Generator UpBlocks compute conv3x3(nearest_up2(x)) as a
+                # folded 2x2 conv at LOW resolution + depth-to-space
+                # (models/blocks.py _FoldedUpConv3x3): exact identity,
+                # identical parameter tree, 2.25x fewer conv FLOPs, no
+                # high-res pre-conv tensor in HBM or in the VJP residuals.
+                # Default off until the on-chip A/B lands (same gate
+                # discipline as DAMSM_SIM_IMPL above).
+                "UPBLOCK_FUSED": False,
                 # K train steps per dispatch in the training loop
                 # (lax.scan fusion, make_gan_train_multistep) — amortizes
                 # per-dispatch overhead on low-latency runtimes.  The

@@ -37,14 +37,88 @@ def glu(x: jax.Array, axis: int = -1) -> jax.Array:
     return a * jax.nn.sigmoid(b)
 
 
-class Conv3x3(nn.Module):
-    """3x3 stride-1 'same' conv, no bias (reference conv3x3, model.py:32-35)."""
+def fold_up2x_kernel(k: jax.Array) -> jax.Array:
+    """Fold a (3,3,Cin,Cout) kernel into the (2,2,Cin,4*Cout) phase kernels
+    of ``conv3x3(nearest_up2(x))`` evaluated at LOW resolution.
+
+    Nearest-2x duplicates every input pixel, so the 3x3 window at output
+    pixel (2i+a, 2j+b) only ever touches x rows {i-1, i} (a=0) or {i, i+1}
+    (a=1) — with the two taps that land on the same source row summed —
+    and likewise for columns.  The four (a, b) phases are stacked on the
+    output-channel axis (order 00, 01, 10, 11)."""
+    r0 = jnp.stack([k[0], k[1] + k[2]], 0)  # phase a=0: rows {i-1, i}
+    r1 = jnp.stack([k[0] + k[1], k[2]], 0)  # phase a=1: rows {i, i+1}
+
+    def cols(kr):
+        c0 = jnp.stack([kr[:, 0], kr[:, 1] + kr[:, 2]], 1)
+        c1 = jnp.stack([kr[:, 0] + kr[:, 1], kr[:, 2]], 1)
+        return c0, c1
+
+    k00, k01 = cols(r0)
+    k10, k11 = cols(r1)
+    return jnp.concatenate([k00, k01, k10, k11], axis=-1)
+
+
+class _FoldedUpConv3x3(nn.Module):
+    """``conv3x3(nearest_up2(x))`` computed at LOW resolution (exact
+    algebraic identity via :func:`fold_up2x_kernel`): one 2x2 conv over x
+    producing the 4 output phases as channels, then depth-to-space.
+
+    vs the naive upsample-then-conv (reference upBlock, model.py:39-45):
+    16 MACs per (low-res pixel, cin, cout) instead of 36 (2.25x fewer
+    FLOPs), the 4x-size upsampled tensor never exists in HBM, and the
+    conv residual saved for the VJP is the low-res input (4x smaller) —
+    which is what drives the large-batch OOMs (NOTES.md).
+
+    Holds its kernel at nn.Conv's layout (param 'kernel', shape
+    (3,3,Cin,Cout), f32, same init stream) so the parameter tree — and
+    therefore checkpoints and the torch importers (utils/torch_port.py)
+    — is bit-identical to the unfused path."""
 
     features: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        b, h, w, cin = x.shape
+        kernel = self.param(
+            "kernel", ortho_init, (3, 3, cin, self.features), jnp.float32
+        )
+        kk = fold_up2x_kernel(kernel).astype(self.dtype)
+        o = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kk,
+            window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (b, h+1, w+1, 4*Cout); window at p covers x[p-1, p]
+        co = self.features
+        p00 = o[:, :h, :w, :co]
+        p01 = o[:, :h, 1:, co : 2 * co]
+        p10 = o[:, 1:, :w, 2 * co : 3 * co]
+        p11 = o[:, 1:, 1:, 3 * co :]
+        y = jnp.stack([p00, p01, p10, p11], axis=3)  # (b,h,w,4,co)
+        y = y.reshape(b, h, w, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
+        return y.reshape(b, 2 * h, 2 * w, co)
+
+
+class Conv3x3(nn.Module):
+    """3x3 stride-1 'same' conv, no bias (reference conv3x3, model.py:32-35).
+
+    ``up2x=True`` computes ``conv3x3(nearest_up2(x))`` via the folded
+    low-resolution form (:class:`_FoldedUpConv3x3`) — same parameters,
+    same math, 2.25x fewer FLOPs and no high-res intermediate."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    up2x: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if self.up2x:
+            return _FoldedUpConv3x3(
+                self.features, dtype=self.dtype, name="Conv_0"
+            )(x)
         return nn.Conv(
             self.features,
             (3, 3),
@@ -108,15 +182,24 @@ def upsample_nearest_2x(x: jax.Array) -> jax.Array:
 
 class UpBlock(nn.Module):
     """nearest-up2x -> conv3x3(out*2) -> BN -> GLU (reference upBlock,
-    model.py:39-45)."""
+    model.py:39-45).
+
+    ``fused=True`` (cfg.JAX.UPBLOCK_FUSED) folds the upsample into the
+    conv (:class:`_FoldedUpConv3x3`): exact same math and parameter tree,
+    2.25x fewer conv FLOPs, and the 4x-size pre-conv activation never
+    exists — neither in HBM nor as a VJP residual."""
 
     features: int
     dtype: Dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = upsample_nearest_2x(x)
-        x = Conv3x3(self.features * 2, dtype=self.dtype)(x)
+        if self.fused:
+            x = Conv3x3(self.features * 2, dtype=self.dtype, up2x=True)(x)
+        else:
+            x = upsample_nearest_2x(x)
+            x = Conv3x3(self.features * 2, dtype=self.dtype)(x)
         x = BatchNorm(dtype=self.dtype)(x, train)
         return glu(x)
 

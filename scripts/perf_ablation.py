@@ -61,7 +61,7 @@ def make_args(cfg, b):
 def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
         remat_g=False, loss_dtype="float32", grid_chunks=1,
         sim_impl="xla", sim_tile=16, fold_softmax=False,
-        remat_g_mode="stages"):
+        remat_g_mode="stages", upblock_fused=False):
     cfg = cfg_from_dict(
         {
             "TREE": {"BRANCH_NUM": 3},
@@ -78,7 +78,8 @@ def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
                     "DAMSM_GRID_CHUNKS": grid_chunks,
                     "DAMSM_SIM_IMPL": sim_impl,
                     "DAMSM_SIM_TILE": sim_tile,
-                    "DAMSM_FOLD_SOFTMAX": fold_softmax},
+                    "DAMSM_FOLD_SOFTMAX": fold_softmax,
+                    "UPBLOCK_FUSED": upblock_fused},
         }
     )
     models = build_models(cfg, 5450)
@@ -122,7 +123,7 @@ if __name__ == "__main__":
     elif which == "one":
         # generic single-config CLI:
         #   perf_ablation.py one NAME BATCH [remat] [rematg] [pallas]
-        #                    [chunks=N] [grid=N] [lossf32]
+        #                    [chunks=N] [grid=N] [lossf32] [upfused]
         name, b = sys.argv[2], int(sys.argv[3])
         flags = set(sys.argv[4:])
         kw = dict(remat="remat" in flags,
@@ -131,6 +132,7 @@ if __name__ == "__main__":
                   use_pallas="pallas" in flags,
                   sim_impl="pallas" if "simpallas" in flags else "xla",
                   fold_softmax="fold" in flags,
+                  upblock_fused="upfused" in flags,
                   loss_dtype="float32" if "lossf32" in flags else "bfloat16")
         for f in flags:
             if f.startswith("chunks="):
