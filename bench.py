@@ -93,19 +93,33 @@ def main():
                 # Batch 64 gives 296 img/s; 256 OOMs on G vjp residuals.
                 # Memory levers matter because buffer donation is rejected
                 # by this runtime.
-                "BATCH_SIZE": 128 if platform == "tpu" else 4,
+                "BATCH_SIZE": int(os.environ.get(
+                    "SBA_BENCH_BATCH", "128" if platform == "tpu" else "4")),
                 "SMOOTH": {"GAMMA1": 4.0, "GAMMA2": 5.0, "GAMMA3": 10.0,
                            "LAMBDA": 5.0},
             },
             "JAX": {
                 "DTYPE": "bfloat16" if platform == "tpu" else "float32",
-                "REMAT_IMAGE_ENCODER": platform == "tpu",
-                "DAMSM_CHUNKS": 4 if platform == "tpu" else 1,
+                "REMAT_IMAGE_ENCODER": os.environ.get(
+                    "SBA_BENCH_REMAT", "1" if platform == "tpu" else "0"
+                ) == "1",
+                # chunks=4 was required by the dense (B,B,T,R) grid's HBM
+                # footprint; the fused kernel frees it (chunks=1 measured
+                # faster behind it: 275 vs 298 ms at b128, r3 ablations).
+                "DAMSM_CHUNKS": int(os.environ.get(
+                    "SBA_BENCH_CHUNKS", "4" if platform == "tpu" else "1")),
                 # A/B override for the ablation queue (scripts/
                 # r3_ablation_queue.sh); the default stays 'xla' until the
                 # on-chip parity check + A/B say the kernel wins.
+                # (Parity PASSED on-chip 2026-08-19, logs/r3_ablations.log;
+                # the flip is gated on the full-step A/B.)
                 "DAMSM_SIM_IMPL": os.environ.get("SBA_BENCH_SIM_IMPL",
                                                  "xla"),
+                # Folded upsample+conv UpBlocks (exact identity, 2.25x
+                # fewer G conv FLOPs); default off until the on-chip A/B
+                # (scripts/r3_followup_queue.sh) lands.
+                "UPBLOCK_FUSED": os.environ.get("SBA_BENCH_UPFUSED",
+                                                "0") == "1",
                 # bf16 inputs for the (B,B,T,R) words-loss einsums (f32
                 # softmax/accum); halves the grid footprint, grad cosine
                 # vs f32 = 0.99998 on-chip

@@ -58,9 +58,12 @@ class _RecurrentParams(nn.Module):
         return w_ih, w_hh, b_ih, b_hh
 
 
-def _lstm_step(x, state, w_ih, w_hh, b_ih, b_hh, hidden):
+def _lstm_step(gi, state, w_hh, b_hh, hidden):
+    # gi = x @ w_ih.T + b_ih, precomputed for ALL timesteps as one batched
+    # matmul outside the scan (TPU: the sequential chain keeps only the
+    # hidden-side matmul; same summation order as the in-step form).
     h, c = state
-    z = x @ w_ih.T + b_ih + h @ w_hh.T + b_hh
+    z = gi + h @ w_hh.T + b_hh
     i, f, g, o = jnp.split(z, 4, axis=-1)
     i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
     g = jnp.tanh(g)
@@ -69,9 +72,8 @@ def _lstm_step(x, state, w_ih, w_hh, b_ih, b_hh, hidden):
     return h_new, (h_new, c_new)
 
 
-def _gru_step(x, state, w_ih, w_hh, b_ih, b_hh, hidden):
+def _gru_step(gi, state, w_hh, b_hh, hidden):
     (h,) = state
-    gi = x @ w_ih.T + b_ih
     gh = h @ w_hh.T + b_hh
     i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
     h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
@@ -127,11 +129,16 @@ class RNNEncoder(nn.Module):
             if self.rnn_type == "LSTM":
                 init = init + (jnp.zeros((b, hidden), self.dtype),)
 
-            xs = (jnp.swapaxes(emb, 0, 1), jnp.swapaxes(valid, 0, 1))
+            # Input projection for ALL timesteps as ONE (B*T, ninput) x
+            # (ninput, gates*H) matmul (MXU-friendly); the scan's sequential
+            # chain then carries only the small hidden-side matmul.  Same
+            # per-element summation order as projecting inside the step.
+            gi_all = emb @ w_ih.T + b_ih  # (B, T, gates*H)
+            xs = (jnp.swapaxes(gi_all, 0, 1), jnp.swapaxes(valid, 0, 1))
 
             def scan_body(state, inp):
-                x_t, valid_t = inp
-                out, new_state = step_fn(x_t, state, w_ih, w_hh, b_ih, b_hh, hidden)
+                gi_t, valid_t = inp
+                out, new_state = step_fn(gi_t, state, w_hh, b_hh, hidden)
                 m = valid_t[:, None]
                 # freeze state and zero the output at padded steps
                 new_state = tuple(
