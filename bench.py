@@ -64,7 +64,61 @@ def _backend_usable(timeout: int = 300, attempts: int = 3) -> bool:
 
 
 def main():
-    if os.environ.get("JAX_PLATFORMS", "") == "cpu" or not _backend_usable():
+    """Orchestrate: probe the tunnel, run the measurement in a CHILD process
+    (one bench config per process — HBM spill hazard, CLAUDE.md), and make
+    sure ONE JSON line is printed no matter how the TPU attempt dies.
+
+    Why a child: the 2026-08-19 08:05 queue run probed OK, then hit a
+    transient FAILED_PRECONDITION *mid-measurement* and crashed with rc=1
+    and no JSON line — if that happens during the driver's end-of-round
+    run, BENCH_r{N}.json records nothing.  A child isolates the poisoned
+    backend; the parent retries once on a quick transient failure (a fast
+    rc!=0, not a timeout — a 40-min compile timeout would just burn again)
+    and falls back to the CPU smoke line otherwise."""
+    if "--run" in sys.argv:
+        run_bench(force_cpu=sys.argv[sys.argv.index("--run") + 1] == "cpu")
+        return
+    tpu_ok = (os.environ.get("JAX_PLATFORMS", "") != "cpu"
+              and _backend_usable())
+    attempts = [("tpu", 2700), ("tpu", 2700)] if tpu_ok else []
+    for i, (mode, budget) in enumerate(attempts):
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run", mode],
+                capture_output=True, timeout=budget,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"bench: TPU attempt {i + 1} timed out after {budget}s; "
+                  "not retrying (compile-scale hang)", file=sys.stderr)
+            break
+        sys.stderr.write(r.stderr.decode(errors="replace")[-2000:])
+        line = _last_json_line(r.stdout.decode(errors="replace"))
+        if r.returncode == 0 and line:
+            print(line)
+            return
+        print(f"bench: TPU attempt {i + 1} failed rc={r.returncode} "
+              f"after {time.time() - t0:.0f}s", file=sys.stderr)
+        if time.time() - t0 > 600:
+            break  # not a quick transient; don't burn another compile
+        time.sleep(60)
+    run_bench(force_cpu=True)
+
+
+def _last_json_line(text: str) -> str | None:
+    for ln in reversed(text.strip().splitlines()):
+        ln = ln.strip()
+        if ln.startswith("{"):
+            try:
+                json.loads(ln)
+                return ln
+            except ValueError:
+                continue
+    return None
+
+
+def run_bench(force_cpu: bool = False):
+    if force_cpu or os.environ.get("JAX_PLATFORMS", "") == "cpu":
         # Dead tunnel (or CPU explicitly requested): fall back to an honest
         # CPU smoke number instead of hanging the driver.  The config
         # update is required even when the env var is set: under the axon
