@@ -141,10 +141,13 @@ def run_bench(force_cpu: bool = False):
             "GAN": {"GF_DIM": 32, "DF_DIM": 64, "Z_DIM": 100, "R_NUM": 2},
             "TEXT": {"EMBEDDING_DIM": 256, "WORDS_NUM": 18},
             "TRAIN": {
-                # per-chip batch 128 with REMAT_IMAGE_ENCODER + 4-way DAMSM
-                # chunking + bf16 words-loss einsums: 310 ms/step, 413 img/s
-                # honest (fence-in-window; scripts/perf_ablation.py).
-                # Batch 64 gives 296 img/s; 256 OOMs on G vjp residuals.
+                # per-chip batch 128 with REMAT_IMAGE_ENCODER + the fused
+                # Pallas DAMSM similarity kernel (chunks=1): 272.7-275
+                # ms/step, 465-469 img/s ablation / 519.3 img/s bench line
+                # honest (fence-in-window; scripts/perf_ablation.py,
+                # logs/r3_ablations.log 2026-08-19).  The old dense-grid
+                # point (chunks=4, xla) was 300-310 ms.  b128 without
+                # encoder remat still OOMs even behind the kernel.
                 # Memory levers matter because buffer donation is rejected
                 # by this runtime.
                 "BATCH_SIZE": int(os.environ.get(
@@ -161,14 +164,19 @@ def run_bench(force_cpu: bool = False):
                 # footprint; the fused kernel frees it (chunks=1 measured
                 # faster behind it: 275 vs 298 ms at b128, r3 ablations).
                 "DAMSM_CHUNKS": int(os.environ.get(
-                    "SBA_BENCH_CHUNKS", "4" if platform == "tpu" else "1")),
-                # A/B override for the ablation queue (scripts/
-                # r3_ablation_queue.sh); the default stays 'xla' until the
-                # on-chip parity check + A/B say the kernel wins.
-                # (Parity PASSED on-chip 2026-08-19, logs/r3_ablations.log;
-                # the flip is gated on the full-step A/B.)
-                "DAMSM_SIM_IMPL": os.environ.get("SBA_BENCH_SIM_IMPL",
-                                                 "xla"),
+                    "SBA_BENCH_CHUNKS", "1" if platform == "tpu" else "1")),
+                # FLIPPED to the fused Pallas similarity kernel on TPU
+                # (2026-08-19, logs/r3_ablations.log): Mosaic parity PASS
+                # (loss rel 2e-7, grad cos >=0.999996), full-step A/B
+                # 272.7-275 ms nochunk-pallas vs 300.8 ms chunked-xla at
+                # b128, and the bench line itself 519.3 img/s at these
+                # flags vs 478.97 at the old defaults (same evening).
+                # The kernel frees the words-loss grid HBM, so chunks=1.
+                # 'xla' remains the library-wide config.py default (CPU
+                # interpret mode is slow); the env vars A/B-override both.
+                "DAMSM_SIM_IMPL": os.environ.get(
+                    "SBA_BENCH_SIM_IMPL",
+                    "pallas" if platform == "tpu" else "xla"),
                 # Folded upsample+conv UpBlocks (exact identity, 2.25x
                 # fewer G conv FLOPs); default off until the on-chip A/B
                 # (scripts/r3_followup_queue.sh) lands.

@@ -212,6 +212,12 @@ def default_config() -> ConfigDict:
                 # Any flip of the default to 'pallas' is gated on
                 # scripts/check_sim_kernel_tpu.py passing on the real TPU
                 # (Mosaic compile + numerics), not just interpret parity.
+                # GATE PASSED 2026-08-19 (logs/r3_ablations.log): parity
+                # loss rel 2e-7 / grad cos >=0.999996, full-step b128
+                # 272.7-275 ms (pallas, chunks=1) vs 300.8 ms (xla,
+                # chunks=4).  bench.py now defaults to 'pallas' ON TPU;
+                # the library default stays 'xla' because CPU runs would
+                # hit the (slow) interpreter and tests cover both.
                 "DAMSM_SIM_IMPL": "xla",
                 # text tile per kernel grid step; must divide the batch
                 # (otherwise words_loss falls back to the XLA path).
