@@ -46,7 +46,10 @@ def main():
 
     os.makedirs(outdir, exist_ok=True)
     n = 3
-    with jax.profiler.trace(outdir):
+    # perfetto trace = plain JSON (gz) — parseable by
+    # scripts/summarize_trace.py without the (stale-proto) tensorboard
+    # profile plugin; the xplane.pb is still written alongside.
+    with jax.profiler.trace(outdir, create_perfetto_trace=True):
         t0 = time.perf_counter()
         for _ in range(n):
             state, logs = step(state, *args)

@@ -23,6 +23,8 @@ def main():
         rc = re.search(r"^rc=(\d+)$", body, flags=re.M)
         ms = re.search(r"(\d+(?:\.\d+)?) ms(?:/step)?", body)
         ips = re.search(r"(\d+(?:\.\d+)?) img/s", body)
+        if ips is None:  # bench.py prints a JSON line (unit images/sec)
+            ips = re.search(r'"value": (\d+(?:\.\d+)?)', body)
         passfail = re.findall(r"^(PASS|FAIL) (.*)$", body, flags=re.M)
         oom = "RESOURCE_EXHAUSTED" in body or "ResourceExhausted" in body
         label = cmd.replace("python scripts/", "")
