@@ -182,6 +182,8 @@ def run_bench(force_cpu: bool = False):
                 # (scripts/r3_followup_queue.sh) lands.
                 "UPBLOCK_FUSED": os.environ.get("SBA_BENCH_UPFUSED",
                                                 "0") == "1",
+                "UPBLOCK_FUSED_IMPL": os.environ.get("SBA_BENCH_UPIMPL",
+                                                     "phase3x3"),
                 # bf16 inputs for the (B,B,T,R) words-loss einsums (f32
                 # softmax/accum); halves the grid footprint, grad cosine
                 # vs f32 = 0.99998 on-chip

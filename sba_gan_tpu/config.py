@@ -233,6 +233,12 @@ def default_config() -> ConfigDict:
                 # Default off until the on-chip A/B lands (same gate
                 # discipline as DAMSM_SIM_IMPL above).
                 "UPBLOCK_FUSED": False,
+                # Lowering for the folded conv (models/blocks.py
+                # _FoldedUpConv3x3): 'phase3x3' (aligned phases, pure-
+                # reshape depth-to-space), 'convt' (one stride-2
+                # transposed conv), 'fold2x2' (shifted slices — OOMed
+                # on-chip at b128, kept for A/B evidence).
+                "UPBLOCK_FUSED_IMPL": "phase3x3",
                 # K train steps per dispatch in the training loop
                 # (lax.scan fusion, make_gan_train_multistep) — amortizes
                 # per-dispatch overhead on low-latency runtimes.  The

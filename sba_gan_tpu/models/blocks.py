@@ -59,16 +59,62 @@ def fold_up2x_kernel(k: jax.Array) -> jax.Array:
     return jnp.concatenate([k00, k01, k10, k11], axis=-1)
 
 
-class _FoldedUpConv3x3(nn.Module):
-    """``conv3x3(nearest_up2(x))`` computed at LOW resolution (exact
-    algebraic identity via :func:`fold_up2x_kernel`): one 2x2 conv over x
-    producing the 4 output phases as channels, then depth-to-space.
+def fold_up2x_kernel_phase3x3(k: jax.Array) -> jax.Array:
+    """Fold a (3,3,Cin,Cout) kernel into phase-ALIGNED (3,3,Cin,4*Cout)
+    kernels of ``conv3x3(nearest_up2(x))`` at LOW resolution.
 
-    vs the naive upsample-then-conv (reference upBlock, model.py:39-45):
-    16 MACs per (low-res pixel, cin, cout) instead of 36 (2.25x fewer
-    FLOPs), the 4x-size upsampled tensor never exists in HBM, and the
-    conv residual saved for the VJP is the low-res input (4x smaller) —
-    which is what drives the large-batch OOMs (NOTES.md).
+    Same identity as :func:`fold_up2x_kernel`, but every phase reads the
+    SAME centered 3x3 window (rows {i-1, i, i+1}) with structural zeros
+    where a phase has no tap — so all four phases come out of one aligned
+    'SAME' conv and depth-to-space is a pure reshape/transpose (no shifted
+    slices, whose pad-VJPs made the 2x2 form OOM on-chip at b128,
+    logs/r3_ablations.log 2026-08-19 19:3x-19:5x)."""
+    z = jnp.zeros_like(k[0])
+    r0 = jnp.stack([k[0], k[1] + k[2], z], 0)  # phase a=0: rows {i-1, i}
+    r1 = jnp.stack([z, k[0] + k[1], k[2]], 0)  # phase a=1: rows {i, i+1}
+
+    def cols(kr):
+        zc = jnp.zeros_like(kr[:, 0])
+        c0 = jnp.stack([kr[:, 0], kr[:, 1] + kr[:, 2], zc], 1)
+        c1 = jnp.stack([zc, kr[:, 0] + kr[:, 1], kr[:, 2]], 1)
+        return c0, c1
+
+    k00, k01 = cols(r0)
+    k10, k11 = cols(r1)
+    return jnp.concatenate([k00, k01, k10, k11], axis=-1)
+
+
+def fold_up2x_kernel_convt(k: jax.Array) -> jax.Array:
+    """Fold a (3,3,Cin,Cout) kernel into the (4,4,Cin,Cout) kernel of the
+    equivalent stride-2 transposed conv (lhs_dilation=2, padding (2,2)).
+
+    ``nearest_up2`` is a stride-2 transposed conv with a ones(2,2) kernel,
+    so ``conv3x3 ∘ nearest_up2`` composes into ONE transposed conv whose
+    4-tap-per-axis kernel is the correlation-ready fold
+    [k0, k0+k1, k1+k2, k2]: output q gets x[i] * K[2i - q + 2]."""
+    r = jnp.stack([k[0], k[0] + k[1], k[1] + k[2], k[2]], 0)  # (4,3,Ci,Co)
+    return jnp.stack(
+        [r[:, 0], r[:, 0] + r[:, 1], r[:, 1] + r[:, 2], r[:, 2]], 1
+    )  # (4,4,Ci,Co)
+
+
+class _FoldedUpConv3x3(nn.Module):
+    """``conv3x3(nearest_up2(x))`` computed at LOW resolution — an exact
+    algebraic identity of the reference upBlock's upsample-then-conv
+    (AttnGAN2/code/model.py:39-45); only where the FLOPs/bytes happen
+    changes.  Three lowerings (cfg.JAX.UPBLOCK_FUSED_IMPL):
+
+    * ``'phase3x3'`` (default) — one aligned 'SAME' 3x3 conv emitting the
+      4 output phases as channels (:func:`fold_up2x_kernel_phase3x3`) +
+      pure-reshape depth-to-space.  4x fewer MACs than naive (36 per
+      low-res pixel vs 144), low-res VJP residual, no shifted slices.
+    * ``'convt'`` — ONE stride-2 transposed conv with the folded 4x4
+      kernel (:func:`fold_up2x_kernel_convt`): no depth-to-space at all;
+      XLA's native lhs-dilated conv path.
+    * ``'fold2x2'`` — 2x2 conv + shifted-slice depth-to-space
+      (:func:`fold_up2x_kernel`): fewest MACs (16 per low-res pixel) but
+      the slice/pad VJP chain RAISED peak HBM on-chip (OOM at b128 where
+      naive ran — logs/r3_ablations.log); kept for A/B evidence.
 
     Holds its kernel at nn.Conv's layout (param 'kernel', shape
     (3,3,Cin,Cout), f32, same init stream) so the parameter tree — and
@@ -77,22 +123,37 @@ class _FoldedUpConv3x3(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
+    impl: str = "phase3x3"
 
     @nn.compact
     def __call__(self, x):
         b, h, w, cin = x.shape
+        co = self.features
         kernel = self.param(
             "kernel", ortho_init, (3, 3, cin, self.features), jnp.float32
         )
+        xd = x.astype(self.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+        if self.impl == "convt":
+            kk = fold_up2x_kernel_convt(kernel).astype(self.dtype)
+            return jax.lax.conv_general_dilated(
+                xd, kk, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+                lhs_dilation=(2, 2), dimension_numbers=dn,
+            )  # (b, 2h, 2w, Cout)
+        if self.impl == "phase3x3":
+            kk = fold_up2x_kernel_phase3x3(kernel).astype(self.dtype)
+            o = jax.lax.conv_general_dilated(
+                xd, kk, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=dn,
+            )  # (b, h, w, 4*Cout), phases aligned at the window center
+            y = o.reshape(b, h, w, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
+            return y.reshape(b, 2 * h, 2 * w, co)
+        assert self.impl == "fold2x2", self.impl
         kk = fold_up2x_kernel(kernel).astype(self.dtype)
         o = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kk,
-            window_strides=(1, 1),
-            padding=((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            xd, kk, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=dn,
         )  # (b, h+1, w+1, 4*Cout); window at p covers x[p-1, p]
-        co = self.features
         p00 = o[:, :h, :w, :co]
         p01 = o[:, :h, 1:, co : 2 * co]
         p10 = o[:, 1:, :w, 2 * co : 3 * co]
@@ -112,12 +173,14 @@ class Conv3x3(nn.Module):
     features: int
     dtype: Dtype = jnp.float32
     up2x: bool = False
+    up2x_impl: str = "phase3x3"  # cfg.JAX.UPBLOCK_FUSED_IMPL
 
     @nn.compact
     def __call__(self, x):
         if self.up2x:
             return _FoldedUpConv3x3(
-                self.features, dtype=self.dtype, name="Conv_0"
+                self.features, dtype=self.dtype, impl=self.up2x_impl,
+                name="Conv_0"
             )(x)
         return nn.Conv(
             self.features,
@@ -185,18 +248,20 @@ class UpBlock(nn.Module):
     model.py:39-45).
 
     ``fused=True`` (cfg.JAX.UPBLOCK_FUSED) folds the upsample into the
-    conv (:class:`_FoldedUpConv3x3`): exact same math and parameter tree,
-    2.25x fewer conv FLOPs, and the 4x-size pre-conv activation never
-    exists — neither in HBM nor as a VJP residual."""
+    conv (:class:`_FoldedUpConv3x3`, lowering per ``fused_impl`` =
+    cfg.JAX.UPBLOCK_FUSED_IMPL): exact same math and parameter tree; the
+    4x-size pre-conv activation never exists as a separate tensor."""
 
     features: int
     dtype: Dtype = jnp.float32
     fused: bool = False
+    fused_impl: str = "phase3x3"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         if self.fused:
-            x = Conv3x3(self.features * 2, dtype=self.dtype, up2x=True)(x)
+            x = Conv3x3(self.features * 2, dtype=self.dtype, up2x=True,
+                        up2x_impl=self.fused_impl)(x)
         else:
             x = upsample_nearest_2x(x)
             x = Conv3x3(self.features * 2, dtype=self.dtype)(x)

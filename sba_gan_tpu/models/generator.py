@@ -48,6 +48,7 @@ class InitStageG(nn.Module):
     z_concat: bool = True
     dtype: Dtype = jnp.float32
     up_fused: bool = False  # cfg.JAX.UPBLOCK_FUSED
+    up_impl: str = "phase3x3"  # cfg.JAX.UPBLOCK_FUSED_IMPL
 
     @nn.compact
     def __call__(self, z_code, c_code, train: bool = True):
@@ -68,7 +69,7 @@ class InitStageG(nn.Module):
         x = x.reshape(-1, self.ngf, 4, 4).transpose(0, 2, 3, 1)
         for div in (2, 4, 8, 16):
             x = UpBlock(self.ngf // div, dtype=self.dtype,
-                        fused=self.up_fused)(x, train)
+                        fused=self.up_fused, fused_impl=self.up_impl)(x, train)
         return x  # (B, 64, 64, ngf/16)
 
 
@@ -81,6 +82,7 @@ class NextStageG(nn.Module):
     attn_impl: str = "auto"
     dtype: Dtype = jnp.float32
     up_fused: bool = False
+    up_impl: str = "phase3x3"
 
     @nn.compact
     def __call__(self, h_code, c_code, w_code, word_embs, pad_mask, train=True):
@@ -92,7 +94,8 @@ class NextStageG(nn.Module):
         h = jnp.concatenate([h_styled, ctx], axis=-1)  # (B, H, W, 2*ngf)
         for _ in range(self.num_residual):
             h = ResBlock(self.ngf * 2, dtype=self.dtype)(h, train)
-        h = UpBlock(self.ngf, dtype=self.dtype, fused=self.up_fused)(h, train)
+        h = UpBlock(self.ngf, dtype=self.dtype, fused=self.up_fused,
+                    fused_impl=self.up_impl)(h, train)
         return h, att
 
 
@@ -129,6 +132,7 @@ class GNet(nn.Module):
     style_mixing: bool = False  # cfg.TRAIN.MIXING
     attn_impl: str = "auto"  # word-attention kernel selection (cfg.JAX.USE_PALLAS)
     up_fused: bool = False  # cfg.JAX.UPBLOCK_FUSED
+    up_impl: str = "phase3x3"  # cfg.JAX.UPBLOCK_FUSED_IMPL
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -166,7 +170,8 @@ class GNet(nn.Module):
         w_code3 = checkpoint_name(w_code3, "g_stage")
         if self.branch_num > 0:
             h1 = InitStageG(ngf * 16, z_concat=self.z_concat,
-                            dtype=self.dtype, up_fused=self.up_fused)(
+                            dtype=self.dtype, up_fused=self.up_fused,
+                            up_impl=self.up_impl)(
                 z0, c_code, train
             )
             h1 = checkpoint_name(h1, "g_stage")
@@ -175,7 +180,7 @@ class GNet(nn.Module):
             h2, att1 = NextStageG(
                 ngf, num_residual=self.num_residual,
                 attn_impl=self.attn_impl, dtype=self.dtype,
-                up_fused=self.up_fused,
+                up_fused=self.up_fused, up_impl=self.up_impl,
             )(h1, c_code, w_code2, word_embs, pad_mask, train)
             h2 = checkpoint_name(h2, "g_stage")
             fake_imgs.append(GetImageG(dtype=self.dtype)(h2))
@@ -184,7 +189,7 @@ class GNet(nn.Module):
             h3, att2 = NextStageG(
                 ngf, num_residual=self.num_residual,
                 attn_impl=self.attn_impl, dtype=self.dtype,
-                up_fused=self.up_fused,
+                up_fused=self.up_fused, up_impl=self.up_impl,
             )(h2, c_code, w_code3, word_embs, pad_mask, train)
             h3 = checkpoint_name(h3, "g_stage")
             fake_imgs.append(GetImageG(dtype=self.dtype)(h3))
@@ -206,6 +211,7 @@ class GDCGAN(nn.Module):
     z_concat: bool = True
     attn_impl: str = "auto"
     up_fused: bool = False
+    up_impl: str = "phase3x3"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -223,21 +229,22 @@ class GDCGAN(nn.Module):
             self.w_dim, num_layers=self.mapping_layers, dtype=self.dtype
         )(z)
         h = InitStageG(ngf * 16, z_concat=self.z_concat,
-                       dtype=self.dtype, up_fused=self.up_fused)(
+                       dtype=self.dtype, up_fused=self.up_fused,
+                            up_impl=self.up_impl)(
             z, c_code, train
         )
         if self.branch_num > 1:
             h, att1 = NextStageG(
                 ngf, num_residual=self.num_residual,
                 attn_impl=self.attn_impl, dtype=self.dtype,
-                up_fused=self.up_fused,
+                up_fused=self.up_fused, up_impl=self.up_impl,
             )(h, c_code, w_code, word_embs, pad_mask, train)
             att_maps.append(att1)
         if self.branch_num > 2:
             h, att2 = NextStageG(
                 ngf, num_residual=self.num_residual,
                 attn_impl=self.attn_impl, dtype=self.dtype,
-                up_fused=self.up_fused,
+                up_fused=self.up_fused, up_impl=self.up_impl,
             )(h, c_code, w_code, word_embs, pad_mask, train)
             att_maps.append(att2)
         fake_img = GetImageG(dtype=self.dtype)(h)
@@ -257,6 +264,7 @@ def build_generator(cfg) -> nn.Module:
         z_concat=cfg.GAN.INIT_Z_CONCAT,
         attn_impl="auto" if cfg.JAX.USE_PALLAS else "xla",
         up_fused=cfg.JAX.UPBLOCK_FUSED,
+        up_impl=cfg.JAX.UPBLOCK_FUSED_IMPL,
         dtype=jnp.dtype(cfg.JAX.DTYPE),
     )
     if cfg.GAN.B_DCGAN:

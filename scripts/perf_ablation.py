@@ -61,7 +61,8 @@ def make_args(cfg, b):
 def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
         remat_g=False, loss_dtype="float32", grid_chunks=1,
         sim_impl="xla", sim_tile=16, fold_softmax=False,
-        remat_g_mode="stages", upblock_fused=False):
+        remat_g_mode="stages", upblock_fused=False,
+        upblock_fused_impl="phase3x3"):
     cfg = cfg_from_dict(
         {
             "TREE": {"BRANCH_NUM": 3},
@@ -79,7 +80,8 @@ def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
                     "DAMSM_SIM_IMPL": sim_impl,
                     "DAMSM_SIM_TILE": sim_tile,
                     "DAMSM_FOLD_SOFTMAX": fold_softmax,
-                    "UPBLOCK_FUSED": upblock_fused},
+                    "UPBLOCK_FUSED": upblock_fused,
+                    "UPBLOCK_FUSED_IMPL": upblock_fused_impl},
         }
     )
     models = build_models(cfg, 5450)
@@ -141,4 +143,6 @@ if __name__ == "__main__":
                 kw["grid_chunks"] = int(f.split("=")[1])
             if f.startswith("tile="):
                 kw["sim_tile"] = int(f.split("=")[1])
+            if f.startswith("upimpl="):
+                kw["upblock_fused_impl"] = f.split("=")[1]
         run(name, b, 5.0, **kw)

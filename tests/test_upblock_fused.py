@@ -22,18 +22,22 @@ from sba_gan_tpu.models.blocks import (
 )
 
 
-def _conv_pair(cin, cout, h=9, w=7, b=2, seed=0):
+IMPLS = ["fold2x2", "phase3x3", "convt"]
+
+
+def _conv_pair(cin, cout, h=9, w=7, b=2, seed=0, impl="fold2x2"):
     rng = np.random.default_rng(seed)
     x = jnp.asarray(rng.standard_normal((b, h, w, cin)).astype(np.float32))
     naive = Conv3x3(cout)
-    fused = Conv3x3(cout, up2x=True)
+    fused = Conv3x3(cout, up2x=True, up2x_impl=impl)
     params = naive.init(jax.random.PRNGKey(seed), upsample_nearest_2x(x))
     return x, naive, fused, params
 
 
+@pytest.mark.parametrize("impl", IMPLS)
 @pytest.mark.parametrize("cin,cout", [(5, 4), (16, 8)])
-def test_fused_matches_upsample_then_conv(cin, cout):
-    x, naive, fused, params = _conv_pair(cin, cout)
+def test_fused_matches_upsample_then_conv(cin, cout, impl):
+    x, naive, fused, params = _conv_pair(cin, cout, impl=impl)
     y_ref = naive.apply(params, upsample_nearest_2x(x))
     y_fused = fused.apply(params, x)
     assert y_fused.shape == y_ref.shape
@@ -55,8 +59,9 @@ def test_fused_param_tree_identical():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_fused_gradients_match():
-    x, naive, fused, params = _conv_pair(5, 4)
+@pytest.mark.parametrize("impl", IMPLS)
+def test_fused_gradients_match(impl):
+    x, naive, fused, params = _conv_pair(5, 4, impl=impl)
     ct = jnp.asarray(
         np.random.default_rng(1)
         .standard_normal((2, 18, 14, 4))
