@@ -60,16 +60,19 @@ if [ -n "$BEST_IMPL" ]; then
     SBA_BENCH_UPIMPL=$BEST_IMPL run python bench.py
 fi
 
-# 4. larger batch.  The resume queue's b192_nochunk_rematg died on a
-#    tunnel-side compiler crash (remote_compile HTTP 500, 20:05 — not an
-#    HBM OOM), so retry it once; then stack the winning upfused impl.
-B192=$(ms_of b192_nochunk_rematg)
-if [ -z "$B192" ]; then
-  run python scripts/perf_ablation.py one b192_nochunk_rematg 192 remat simpallas rematg
-  B192=$(ms_of b192_nochunk_rematg)
+# 4. larger batch.  b192/b256 nochunk+rematg fail at COMPILE with an HBM
+#    planning OOM surfaced as remote_compile HTTP 500 (17.09G resp.
+#    18.18G vs 15.75G) — NOT a transient.  Remaining memory levers:
+#    (a) DAMSM batch chunking composes with the kernel (the 298 ms
+#    chunked point at b128), (b) the phase3x3/convt upfused lowerings
+#    shrink G-side residuals (low-res conv inputs).
+run python scripts/perf_ablation.py one b192_rematg_chunks4 192 remat simpallas rematg chunks=4
+if [ -n "$BEST_IMPL" ]; then
+  run python scripts/perf_ablation.py one b192_nochunk_rematg_upbest 192 remat simpallas rematg upfused upimpl=$BEST_IMPL
 fi
+B192=$(ms_of b192_rematg_chunks4)
 if [ -n "$B192" ] && [ -n "$BEST_IMPL" ]; then
-  run python scripts/perf_ablation.py one b192_rematg_upbest 192 remat simpallas rematg upfused upimpl=$BEST_IMPL
+  run python scripts/perf_ablation.py one b192_rematg_chunks4_upbest 192 remat simpallas rematg chunks=4 upfused upimpl=$BEST_IMPL
 fi
 
 echo "LATE_QUEUE_DONE $(date +%H:%M:%S)" >> "$LOG"
