@@ -182,6 +182,18 @@ def run_bench(force_cpu: bool = False):
                 # (scripts/r3_followup_queue.sh) lands.
                 "UPBLOCK_FUSED": os.environ.get("SBA_BENCH_UPFUSED",
                                                 "0") == "1",
+                # Per-stage generator remat — required memory lever for
+                # batch >= 192 (b192/b256 OOM at compile without it).
+                "REMAT_GENERATOR": os.environ.get("SBA_BENCH_REMATG",
+                                                  "") != "",
+                "REMAT_GENERATOR_MODE": os.environ.get("SBA_BENCH_REMATG",
+                                                       "stages") or "stages",
+                # Compact BatchNorm (models/blocks.py _CompactBatchNorm):
+                # same math, no f32 promotion of G activations — a memory
+                # lever for the large-batch points.  Off until the on-chip
+                # A/B lands.
+                "BN_COMPACT": os.environ.get("SBA_BENCH_BNCOMPACT",
+                                             "0") == "1",
                 "UPBLOCK_FUSED_IMPL": os.environ.get("SBA_BENCH_UPIMPL",
                                                      "phase3x3"),
                 # bf16 inputs for the (B,B,T,R) words-loss einsums (f32

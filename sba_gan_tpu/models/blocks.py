@@ -218,12 +218,29 @@ class BatchNorm(nn.Module):
     eps=1e-5, running-stat momentum 0.1 -> flax momentum 0.9) and N(1,0.02)
     scale init.  Under jit over a batch sharded on the `data` mesh axis the
     batch statistics are global (XLA inserts the cross-replica reduction),
-    giving synced batch-norm without explicit collectives."""
+    giving synced batch-norm without explicit collectives.
+
+    ``compact=True`` (cfg.JAX.BN_COMPACT) computes the same math via
+    :class:`_CompactBatchNorm`: the batch statistics are folded into
+    per-channel f32 scale/offset applied in the compute dtype, so the
+    (B,H,W,C) activation is never promoted to f32 (flax's normalize path
+    materializes ``x_f32 - mean``).  On-chip evidence: the two largest
+    HLO temps of the b256 step were 4.00G f32 buffers from exactly this
+    promotion in NextStageG UpBlock BatchNorms (logs/r3_ablations.log
+    2026-08-19 20:50).  Same parameter/batch_stats tree, so checkpoints
+    and torch importers are unaffected."""
 
     dtype: Dtype = jnp.float32
+    compact: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if self.compact:
+            # name='BatchNorm_0' keeps the variable tree identical to the
+            # flax path (our wrapper auto-names its inner module).
+            return _CompactBatchNorm(dtype=self.dtype, name="BatchNorm_0")(
+                x, use_running_average=not train
+            )
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -231,6 +248,65 @@ class BatchNorm(nn.Module):
             dtype=self.dtype,
             scale_init=bn_scale_init,
         )(x)
+
+
+class _CompactBatchNorm(nn.Module):
+    """Memory-compact BatchNorm: identical semantics and variable tree to
+    the flax ``nn.BatchNorm`` configuration above (params scale/bias f32,
+    batch_stats mean/var f32, momentum 0.9, eps 1e-5, fast variance
+    E[x^2]-E[x]^2), but the data path stays in the compute dtype:
+
+    * stats are reduced with f32 accumulation directly from the input
+      under ``jax.checkpoint`` — the backward residual is the bf16 input,
+      never an f32 copy of it;
+    * normalize is ``x * a + b`` with per-channel ``a = scale/sqrt(var+eps)``
+      and ``b = bias - mean*a`` folded in f32 then cast to the compute
+      dtype — one fused elementwise pass, no f32 (B,H,W,C) intermediate.
+
+    vs flax the only difference is rounding (a, b quantized to bf16 before
+    the elementwise apply instead of the result after it); parity is
+    pinned in tests/test_blocks_bn_compact.py."""
+
+    dtype: Dtype = jnp.float32
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = False):
+        feature_shape = (x.shape[-1],)
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros(feature_shape, jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones(feature_shape, jnp.float32))
+        scale = self.param("scale", bn_scale_init, feature_shape, jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros, feature_shape, jnp.float32)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            red = tuple(range(x.ndim - 1))
+
+            def stats(v):
+                vf = v.astype(jnp.float32)  # fused into the reduces by XLA
+                m = jnp.mean(vf, red)
+                m2 = jnp.mean(jnp.square(vf), red)
+                return m, jnp.maximum(m2 - jnp.square(m), 0.0)
+
+            # checkpoint: save only x (compute dtype) and recompute the two
+            # cheap reductions in the backward pass.
+            mean, var = jax.checkpoint(stats)(x)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        a = inv.astype(self.dtype)
+        b = (bias - mean * inv).astype(self.dtype)
+        return x.astype(self.dtype) * a + b
 
 
 def upsample_nearest_2x(x: jax.Array) -> jax.Array:
@@ -256,6 +332,7 @@ class UpBlock(nn.Module):
     dtype: Dtype = jnp.float32
     fused: bool = False
     fused_impl: str = "phase3x3"
+    bn_compact: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -265,7 +342,7 @@ class UpBlock(nn.Module):
         else:
             x = upsample_nearest_2x(x)
             x = Conv3x3(self.features * 2, dtype=self.dtype)(x)
-        x = BatchNorm(dtype=self.dtype)(x, train)
+        x = BatchNorm(dtype=self.dtype, compact=self.bn_compact)(x, train)
         return glu(x)
 
 
@@ -275,11 +352,12 @@ class Block3x3Relu(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
+    bn_compact: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = Conv3x3(self.features * 2, dtype=self.dtype)(x)
-        x = BatchNorm(dtype=self.dtype)(x, train)
+        x = BatchNorm(dtype=self.dtype, compact=self.bn_compact)(x, train)
         return glu(x)
 
 
@@ -289,14 +367,15 @@ class ResBlock(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
+    bn_compact: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         h = Conv3x3(self.features * 2, dtype=self.dtype)(x)
-        h = BatchNorm(dtype=self.dtype)(h, train)
+        h = BatchNorm(dtype=self.dtype, compact=self.bn_compact)(h, train)
         h = glu(h)
         h = Conv3x3(self.features, dtype=self.dtype)(h)
-        h = BatchNorm(dtype=self.dtype)(h, train)
+        h = BatchNorm(dtype=self.dtype, compact=self.bn_compact)(h, train)
         return x + h
 
 

@@ -49,6 +49,7 @@ class InitStageG(nn.Module):
     dtype: Dtype = jnp.float32
     up_fused: bool = False  # cfg.JAX.UPBLOCK_FUSED
     up_impl: str = "phase3x3"  # cfg.JAX.UPBLOCK_FUSED_IMPL
+    bn_compact: bool = False  # cfg.JAX.BN_COMPACT
 
     @nn.compact
     def __call__(self, z_code, c_code, train: bool = True):
@@ -62,14 +63,15 @@ class InitStageG(nn.Module):
             dtype=self.dtype,
             kernel_init=ortho_init,
         )(x)
-        x = BatchNorm(dtype=self.dtype)(x, train)
+        x = BatchNorm(dtype=self.dtype, compact=self.bn_compact)(x, train)
         x = glu(x)
         # Reference reshapes to NCHW (B, ngf, 4, 4) (model.py:373); keep the
         # same channel<->position mapping, then go channels-last.
         x = x.reshape(-1, self.ngf, 4, 4).transpose(0, 2, 3, 1)
         for div in (2, 4, 8, 16):
             x = UpBlock(self.ngf // div, dtype=self.dtype,
-                        fused=self.up_fused, fused_impl=self.up_impl)(x, train)
+                        fused=self.up_fused, fused_impl=self.up_impl,
+                        bn_compact=self.bn_compact)(x, train)
         return x  # (B, 64, 64, ngf/16)
 
 
@@ -83,6 +85,7 @@ class NextStageG(nn.Module):
     dtype: Dtype = jnp.float32
     up_fused: bool = False
     up_impl: str = "phase3x3"
+    bn_compact: bool = False
 
     @nn.compact
     def __call__(self, h_code, c_code, w_code, word_embs, pad_mask, train=True):
@@ -93,9 +96,11 @@ class NextStageG(nn.Module):
         h_styled = AdaINNorm(self.ngf, dtype=self.dtype)(h_code, w_code)
         h = jnp.concatenate([h_styled, ctx], axis=-1)  # (B, H, W, 2*ngf)
         for _ in range(self.num_residual):
-            h = ResBlock(self.ngf * 2, dtype=self.dtype)(h, train)
+            h = ResBlock(self.ngf * 2, dtype=self.dtype,
+                         bn_compact=self.bn_compact)(h, train)
         h = UpBlock(self.ngf, dtype=self.dtype, fused=self.up_fused,
-                    fused_impl=self.up_impl)(h, train)
+                    fused_impl=self.up_impl,
+                    bn_compact=self.bn_compact)(h, train)
         return h, att
 
 
@@ -133,6 +138,7 @@ class GNet(nn.Module):
     attn_impl: str = "auto"  # word-attention kernel selection (cfg.JAX.USE_PALLAS)
     up_fused: bool = False  # cfg.JAX.UPBLOCK_FUSED
     up_impl: str = "phase3x3"  # cfg.JAX.UPBLOCK_FUSED_IMPL
+    bn_compact: bool = False  # cfg.JAX.BN_COMPACT
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -171,7 +177,8 @@ class GNet(nn.Module):
         if self.branch_num > 0:
             h1 = InitStageG(ngf * 16, z_concat=self.z_concat,
                             dtype=self.dtype, up_fused=self.up_fused,
-                            up_impl=self.up_impl)(
+                            up_impl=self.up_impl,
+                            bn_compact=self.bn_compact)(
                 z0, c_code, train
             )
             h1 = checkpoint_name(h1, "g_stage")
@@ -181,6 +188,7 @@ class GNet(nn.Module):
                 ngf, num_residual=self.num_residual,
                 attn_impl=self.attn_impl, dtype=self.dtype,
                 up_fused=self.up_fused, up_impl=self.up_impl,
+                bn_compact=self.bn_compact,
             )(h1, c_code, w_code2, word_embs, pad_mask, train)
             h2 = checkpoint_name(h2, "g_stage")
             fake_imgs.append(GetImageG(dtype=self.dtype)(h2))
@@ -190,6 +198,7 @@ class GNet(nn.Module):
                 ngf, num_residual=self.num_residual,
                 attn_impl=self.attn_impl, dtype=self.dtype,
                 up_fused=self.up_fused, up_impl=self.up_impl,
+                bn_compact=self.bn_compact,
             )(h2, c_code, w_code3, word_embs, pad_mask, train)
             h3 = checkpoint_name(h3, "g_stage")
             fake_imgs.append(GetImageG(dtype=self.dtype)(h3))
@@ -212,6 +221,7 @@ class GDCGAN(nn.Module):
     attn_impl: str = "auto"
     up_fused: bool = False
     up_impl: str = "phase3x3"
+    bn_compact: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -230,7 +240,7 @@ class GDCGAN(nn.Module):
         )(z)
         h = InitStageG(ngf * 16, z_concat=self.z_concat,
                        dtype=self.dtype, up_fused=self.up_fused,
-                            up_impl=self.up_impl)(
+                       up_impl=self.up_impl, bn_compact=self.bn_compact)(
             z, c_code, train
         )
         if self.branch_num > 1:
@@ -238,6 +248,7 @@ class GDCGAN(nn.Module):
                 ngf, num_residual=self.num_residual,
                 attn_impl=self.attn_impl, dtype=self.dtype,
                 up_fused=self.up_fused, up_impl=self.up_impl,
+                bn_compact=self.bn_compact,
             )(h, c_code, w_code, word_embs, pad_mask, train)
             att_maps.append(att1)
         if self.branch_num > 2:
@@ -245,6 +256,7 @@ class GDCGAN(nn.Module):
                 ngf, num_residual=self.num_residual,
                 attn_impl=self.attn_impl, dtype=self.dtype,
                 up_fused=self.up_fused, up_impl=self.up_impl,
+                bn_compact=self.bn_compact,
             )(h, c_code, w_code, word_embs, pad_mask, train)
             att_maps.append(att2)
         fake_img = GetImageG(dtype=self.dtype)(h)
@@ -265,6 +277,7 @@ def build_generator(cfg) -> nn.Module:
         attn_impl="auto" if cfg.JAX.USE_PALLAS else "xla",
         up_fused=cfg.JAX.UPBLOCK_FUSED,
         up_impl=cfg.JAX.UPBLOCK_FUSED_IMPL,
+        bn_compact=cfg.JAX.BN_COMPACT,
         dtype=jnp.dtype(cfg.JAX.DTYPE),
     )
     if cfg.GAN.B_DCGAN:

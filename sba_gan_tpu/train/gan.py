@@ -211,10 +211,11 @@ def make_gan_train_step(cfg, models: GANModels, mesh=None):
     if smooth_lambda > 0:
         upf = (f" upfused={cfg.JAX.UPBLOCK_FUSED_IMPL}"
                if cfg.JAX.UPBLOCK_FUSED else "")
+        bnc = " bn_compact" if cfg.JAX.BN_COMPACT else ""
         print(f"[sba_gan_tpu] GAN step build: DAMSM_SIM_IMPL={sim_impl} "
               f"tile={sim_tile} chunks={damsm_chunks} "
               f"grid_chunks={grid_chunks} loss_dtype={cfg.JAX.LOSS_DTYPE}"
-              f"{upf}",
+              f"{upf}{bnc}",
               flush=True)
     g_tx, d_tx = gan_optimizers(cfg)
     generator = models.generator

@@ -68,6 +68,7 @@ def main():
                                    else "xla"),
                 "DAMSM_FOLD_SOFTMAX": "fold" in flags,
                 "UPBLOCK_FUSED": "upfused" in flags,
+                "BN_COMPACT": "bncompact" in flags,
                 **kw,
             },
         }

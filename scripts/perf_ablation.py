@@ -62,7 +62,7 @@ def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
         remat_g=False, loss_dtype="float32", grid_chunks=1,
         sim_impl="xla", sim_tile=16, fold_softmax=False,
         remat_g_mode="stages", upblock_fused=False,
-        upblock_fused_impl="phase3x3"):
+        upblock_fused_impl="phase3x3", bn_compact=False):
     cfg = cfg_from_dict(
         {
             "TREE": {"BRANCH_NUM": 3},
@@ -81,7 +81,8 @@ def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
                     "DAMSM_SIM_TILE": sim_tile,
                     "DAMSM_FOLD_SOFTMAX": fold_softmax,
                     "UPBLOCK_FUSED": upblock_fused,
-                    "UPBLOCK_FUSED_IMPL": upblock_fused_impl},
+                    "UPBLOCK_FUSED_IMPL": upblock_fused_impl,
+                    "BN_COMPACT": bn_compact},
         }
     )
     models = build_models(cfg, 5450)
@@ -135,6 +136,7 @@ if __name__ == "__main__":
                   sim_impl="pallas" if "simpallas" in flags else "xla",
                   fold_softmax="fold" in flags,
                   upblock_fused="upfused" in flags,
+                  bn_compact="bncompact" in flags,
                   loss_dtype="float32" if "lossf32" in flags else "bfloat16")
         for f in flags:
             if f.startswith("chunks="):
