@@ -194,6 +194,10 @@ def run_bench(force_cpu: bool = False):
                 # A/B lands.
                 "BN_COMPACT": os.environ.get("SBA_BENCH_BNCOMPACT",
                                              "0") == "1",
+                # Fused Pallas generator-side word attention
+                # (ops/word_attention.py; Mosaic parity PASS on-chip).
+                "USE_PALLAS": os.environ.get("SBA_BENCH_WATTN",
+                                             "0") == "1",
                 "UPBLOCK_FUSED_IMPL": os.environ.get("SBA_BENCH_UPIMPL",
                                                      "phase3x3"),
                 # bf16 inputs for the (B,B,T,R) words-loss einsums (f32

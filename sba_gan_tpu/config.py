@@ -239,16 +239,17 @@ def default_config() -> ConfigDict:
                 # transposed conv), 'fold2x2' (shifted slices — OOMed
                 # on-chip at b128, kept for A/B evidence).
                 "UPBLOCK_FUSED_IMPL": "phase3x3",
-                # Generator BatchNorms fold batch statistics into
-                # per-channel f32 scale/offset applied in the compute
-                # dtype (models/blocks.py _CompactBatchNorm): same math
-                # and variable tree as flax nn.BatchNorm, but the
-                # (B,H,W,C) activation is never promoted to f32.  The two
-                # largest HLO temps of the b256 step were 4.00G f32
-                # buffers from exactly that promotion (logs/
-                # r3_ablations.log 2026-08-19 20:50).  Default off until
-                # the on-chip A/B lands (same gate discipline as
-                # DAMSM_SIM_IMPL above).
+                # Memory-compact normalization: G and D BatchNorms
+                # (models/blocks.py _CompactBatchNorm) and the AdaIN
+                # instance norm (instance_norm_2d compact=True) fold
+                # their statistics into small f32 scale/offset tensors
+                # applied in the compute dtype — same math and variable
+                # tree, but the (B,H,W,C) activation is never promoted
+                # to f32.  The two largest HLO temps of the b256 step
+                # were 4.00G f32 buffers from exactly that promotion in
+                # the flax BN normalize path (logs/r3_ablations.log
+                # 2026-08-19 20:50).  Default off until the on-chip A/B
+                # lands (same gate discipline as DAMSM_SIM_IMPL above).
                 "BN_COMPACT": False,
                 # K train steps per dispatch in the training loop
                 # (lax.scan fusion, make_gan_train_multistep) — amortizes

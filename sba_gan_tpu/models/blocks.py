@@ -419,13 +419,33 @@ class MappingNet(nn.Module):
         return w
 
 
-def instance_norm_2d(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+def instance_norm_2d(x: jax.Array, eps: float = 1e-5,
+                     compact: bool = False) -> jax.Array:
     """Per-sample, per-channel normalization over H,W — torch
-    InstanceNorm2d(affine=False) semantics, NHWC layout."""
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.var(x32, axis=(1, 2), keepdims=True)
-    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    InstanceNorm2d(affine=False) semantics, NHWC layout.
+
+    ``compact=True`` (cfg.JAX.BN_COMPACT) is the same memory discipline as
+    :class:`_CompactBatchNorm`: stats reduced with f32 accumulation under
+    ``jax.checkpoint`` (backward residual = the bf16 input), then folded
+    into per-(sample,channel) f32 scale/offset applied in the compute
+    dtype — the (B,H,W,C) activation is never promoted to f32."""
+    if not compact:
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+        var = jnp.var(x32, axis=(1, 2), keepdims=True)
+        return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+    def stats(v):
+        vf = v.astype(jnp.float32)  # fused into the reduces by XLA
+        m = jnp.mean(vf, axis=(1, 2))
+        m2 = jnp.mean(jnp.square(vf), axis=(1, 2))
+        return m, jnp.maximum(m2 - jnp.square(m), 0.0)
+
+    mean, var = jax.checkpoint(stats)(x)
+    a = jax.lax.rsqrt(var + eps)
+    b = -mean * a
+    return (x * a[:, None, None, :].astype(x.dtype)
+            + b[:, None, None, :].astype(x.dtype))
 
 
 class AdaINNorm(nn.Module):
@@ -434,6 +454,7 @@ class AdaINNorm(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
+    compact: bool = False  # cfg.JAX.BN_COMPACT (see instance_norm_2d)
 
     @nn.compact
     def __call__(self, h, w_code):
@@ -443,7 +464,7 @@ class AdaINNorm(nn.Module):
         gamma, beta = jnp.split(style, 2, axis=-1)
         gamma = gamma[:, None, None, :]
         beta = beta[:, None, None, :]
-        out = instance_norm_2d(h)
+        out = instance_norm_2d(h, compact=self.compact)
         return (gamma + 1.0) * out + beta
 
 
@@ -456,11 +477,12 @@ class Block3x3LeakRelu(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
+    bn_compact: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = Conv3x3(self.features, dtype=self.dtype)(x)
-        x = BatchNorm(dtype=self.dtype)(x, train)
+        x = BatchNorm(dtype=self.dtype, compact=self.bn_compact)(x, train)
         return nn.leaky_relu(x, 0.2)
 
 
@@ -470,6 +492,7 @@ class DownBlock(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
+    bn_compact: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -482,7 +505,7 @@ class DownBlock(nn.Module):
             dtype=self.dtype,
             kernel_init=ortho_init,
         )(x)
-        x = BatchNorm(dtype=self.dtype)(x, train)
+        x = BatchNorm(dtype=self.dtype, compact=self.bn_compact)(x, train)
         return nn.leaky_relu(x, 0.2)
 
 
@@ -493,6 +516,7 @@ class EncodeBy16(nn.Module):
 
     ndf: int
     dtype: Dtype = jnp.float32
+    bn_compact: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -507,5 +531,6 @@ class EncodeBy16(nn.Module):
         )(x)
         x = nn.leaky_relu(x, 0.2)
         for mult in (2, 4, 8):
-            x = DownBlock(self.ndf * mult, dtype=self.dtype)(x, train)
+            x = DownBlock(self.ndf * mult, dtype=self.dtype,
+                          bn_compact=self.bn_compact)(x, train)
         return x

@@ -59,6 +59,7 @@ class DGetLogits(nn.Module):
     ndf: int
     bcondition: bool = False
     dtype: Dtype = jnp.float32
+    bn_compact: bool = False
 
     @nn.compact
     def __call__(self, h_code, c_code=None, train: bool = True):
@@ -69,7 +70,8 @@ class DGetLogits(nn.Module):
                 (b, s_h, s_w, c_code.shape[-1]),
             )
             h_c = jnp.concatenate([h_code, c], axis=-1)
-            h_c = Block3x3LeakRelu(self.ndf * 8, dtype=self.dtype)(h_c, train)
+            h_c = Block3x3LeakRelu(self.ndf * 8, dtype=self.dtype,
+                                   bn_compact=self.bn_compact)(h_c, train)
         else:
             h_c = h_code
         logits = nn.Conv(
@@ -91,12 +93,16 @@ class DNet64(nn.Module, _HeadsMixin):
     nef: int
     b_jcu: bool = True
     dtype: Dtype = jnp.float32
+    bn_compact: bool = False
 
     def setup(self):
-        self.backbone = EncodeBy16(self.ndf, dtype=self.dtype)
-        self.cond_head = DGetLogits(self.ndf, bcondition=True, dtype=self.dtype)
+        self.backbone = EncodeBy16(self.ndf, dtype=self.dtype,
+                                   bn_compact=self.bn_compact)
+        self.cond_head = DGetLogits(self.ndf, bcondition=True, dtype=self.dtype,
+                                    bn_compact=self.bn_compact)
         self.uncond_head = (
-            DGetLogits(self.ndf, bcondition=False, dtype=self.dtype)
+            DGetLogits(self.ndf, bcondition=False, dtype=self.dtype,
+                       bn_compact=self.bn_compact)
             if self.b_jcu
             else None
         )
@@ -113,14 +119,20 @@ class DNet128(nn.Module, _HeadsMixin):
     nef: int
     b_jcu: bool = True
     dtype: Dtype = jnp.float32
+    bn_compact: bool = False
 
     def setup(self):
-        self.backbone = EncodeBy16(self.ndf, dtype=self.dtype)
-        self.down32 = DownBlock(self.ndf * 16, dtype=self.dtype)
-        self.block32 = Block3x3LeakRelu(self.ndf * 8, dtype=self.dtype)
-        self.cond_head = DGetLogits(self.ndf, bcondition=True, dtype=self.dtype)
+        self.backbone = EncodeBy16(self.ndf, dtype=self.dtype,
+                                   bn_compact=self.bn_compact)
+        self.down32 = DownBlock(self.ndf * 16, dtype=self.dtype,
+                                bn_compact=self.bn_compact)
+        self.block32 = Block3x3LeakRelu(self.ndf * 8, dtype=self.dtype,
+                                         bn_compact=self.bn_compact)
+        self.cond_head = DGetLogits(self.ndf, bcondition=True, dtype=self.dtype,
+                                    bn_compact=self.bn_compact)
         self.uncond_head = (
-            DGetLogits(self.ndf, bcondition=False, dtype=self.dtype)
+            DGetLogits(self.ndf, bcondition=False, dtype=self.dtype,
+                       bn_compact=self.bn_compact)
             if self.b_jcu
             else None
         )
@@ -139,16 +151,24 @@ class DNet256(nn.Module, _HeadsMixin):
     nef: int
     b_jcu: bool = True
     dtype: Dtype = jnp.float32
+    bn_compact: bool = False
 
     def setup(self):
-        self.backbone = EncodeBy16(self.ndf, dtype=self.dtype)
-        self.down32 = DownBlock(self.ndf * 16, dtype=self.dtype)
-        self.down64 = DownBlock(self.ndf * 32, dtype=self.dtype)
-        self.block64_1 = Block3x3LeakRelu(self.ndf * 16, dtype=self.dtype)
-        self.block64_2 = Block3x3LeakRelu(self.ndf * 8, dtype=self.dtype)
-        self.cond_head = DGetLogits(self.ndf, bcondition=True, dtype=self.dtype)
+        self.backbone = EncodeBy16(self.ndf, dtype=self.dtype,
+                                   bn_compact=self.bn_compact)
+        self.down32 = DownBlock(self.ndf * 16, dtype=self.dtype,
+                                bn_compact=self.bn_compact)
+        self.down64 = DownBlock(self.ndf * 32, dtype=self.dtype,
+                                bn_compact=self.bn_compact)
+        self.block64_1 = Block3x3LeakRelu(
+            self.ndf * 16, dtype=self.dtype, bn_compact=self.bn_compact)
+        self.block64_2 = Block3x3LeakRelu(self.ndf * 8, dtype=self.dtype,
+                                         bn_compact=self.bn_compact)
+        self.cond_head = DGetLogits(self.ndf, bcondition=True, dtype=self.dtype,
+                                    bn_compact=self.bn_compact)
         self.uncond_head = (
-            DGetLogits(self.ndf, bcondition=False, dtype=self.dtype)
+            DGetLogits(self.ndf, bcondition=False, dtype=self.dtype,
+                       bn_compact=self.bn_compact)
             if self.b_jcu
             else None
         )
@@ -169,8 +189,9 @@ def build_discriminators(cfg):
     dtype = jnp.dtype(cfg.JAX.DTYPE)
     klass = {1: DNet64, 2: DNet128, 3: DNet256}
     if cfg.GAN.B_DCGAN:
-        return [klass[cfg.TREE.BRANCH_NUM](ndf, nef, b_jcu=False, dtype=dtype)]
+        return [klass[cfg.TREE.BRANCH_NUM](ndf, nef, b_jcu=False, dtype=dtype,
+                                           bn_compact=cfg.JAX.BN_COMPACT)]
     return [
-        klass[i](ndf, nef, dtype=dtype)
+        klass[i](ndf, nef, dtype=dtype, bn_compact=cfg.JAX.BN_COMPACT)
         for i in range(1, cfg.TREE.BRANCH_NUM + 1)
     ]

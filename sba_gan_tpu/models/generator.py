@@ -93,7 +93,8 @@ class NextStageG(nn.Module):
         ctx, att = WordAttention(self.ngf, dtype=self.dtype, impl=self.attn_impl)(
             h_code, word_embs, pad_mask
         )
-        h_styled = AdaINNorm(self.ngf, dtype=self.dtype)(h_code, w_code)
+        h_styled = AdaINNorm(self.ngf, dtype=self.dtype,
+                             compact=self.bn_compact)(h_code, w_code)
         h = jnp.concatenate([h_styled, ctx], axis=-1)  # (B, H, W, 2*ngf)
         for _ in range(self.num_residual):
             h = ResBlock(self.ngf * 2, dtype=self.dtype,

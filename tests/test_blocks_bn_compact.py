@@ -103,6 +103,60 @@ def test_bf16_path_close_and_bf16_output():
     np.testing.assert_allclose(b, a, rtol=0.05, atol=0.05)
 
 
+def test_instance_norm_compact_matches():
+    """instance_norm_2d compact path: same per-(sample,channel) normalize,
+    fast-variance vs two-pass variance only differ at rounding level."""
+    from sba_gan_tpu.models.blocks import instance_norm_2d
+
+    x = _x(shape=(3, 8, 9, 5), scale=2.5, shift=-0.7)
+    y_ref = instance_norm_2d(x)
+    y_cmp = instance_norm_2d(x, compact=True)
+    np.testing.assert_allclose(
+        np.asarray(y_cmp), np.asarray(y_ref), rtol=1e-4, atol=1e-5)
+
+    g_ref = jax.grad(lambda v: jnp.sum(instance_norm_2d(v) ** 2))(x)
+    g_cmp = jax.grad(
+        lambda v: jnp.sum(instance_norm_2d(v, compact=True) ** 2))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_cmp), np.asarray(g_ref), rtol=1e-3, atol=1e-5)
+
+    xb = x.astype(jnp.bfloat16)
+    yb = instance_norm_2d(xb, compact=True)
+    assert yb.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(yb, np.float32), np.asarray(y_ref), rtol=0.05, atol=0.05)
+
+
+def test_discriminator_parity_under_flag():
+    """DNet256 (backbone + both heads) is unchanged by the flag with the
+    SAME parameters."""
+    from sba_gan_tpu.models.discriminator import build_discriminators
+
+    base = {
+        "GAN": {"GF_DIM": 8, "DF_DIM": 8, "Z_DIM": 16, "W_DIM": 32,
+                "CONDITION_DIM": 12, "R_NUM": 1},
+        "TEXT": {"EMBEDDING_DIM": 32, "WORDS_NUM": 6},
+        "TREE": {"BRANCH_NUM": 3},
+    }
+    d0 = build_discriminators(cfg_from_dict(base))[-1]
+    d1 = build_discriminators(
+        cfg_from_dict({**base, "JAX": {"BN_COMPACT": True}}))[-1]
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 256, 256, 3)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32))
+    v0 = d0.init(jax.random.PRNGKey(2), x, c, method="init_all")
+    v1 = d1.init(jax.random.PRNGKey(2), x, c, method="init_all")
+    for a, b_ in zip(jax.tree_util.tree_leaves(v0),
+                     jax.tree_util.tree_leaves(v1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    o0, _ = d0.apply(v0, x, c, method="init_all", mutable=["batch_stats"])
+    o1, _ = d1.apply(v0, x, c, method="init_all", mutable=["batch_stats"])
+    for a, b_ in zip(jax.tree_util.tree_leaves(o0),
+                     jax.tree_util.tree_leaves(o1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4)
+
+
 def test_generator_full_parity_under_flag():
     """GNet output with BN_COMPACT on equals the default path with the
     SAME parameters (f32 compute: rounding-level tolerance)."""
