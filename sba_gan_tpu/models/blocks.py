@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from sba_gan_tpu.ops.norms import bn_train_apply, instance_norm_train_apply
+
 Dtype = Any
 
 # Orthogonal init for conv/linear weights, N(1, 0.02) for norm scales,
@@ -256,12 +258,14 @@ class _CompactBatchNorm(nn.Module):
     batch_stats mean/var f32, momentum 0.9, eps 1e-5, fast variance
     E[x^2]-E[x]^2), but the data path stays in the compute dtype:
 
-    * stats are reduced with f32 accumulation directly from the input
-      under ``jax.checkpoint`` — the backward residual is the bf16 input,
-      never an f32 copy of it;
+    * stats are reduced with f32 accumulation directly from the input;
     * normalize is ``x * a + b`` with per-channel ``a = scale/sqrt(var+eps)``
       and ``b = bias - mean*a`` folded in f32 then cast to the compute
-      dtype — one fused elementwise pass, no f32 (B,H,W,C) intermediate.
+      dtype — one fused elementwise pass, no f32 (B,H,W,C) intermediate;
+    * the backward is the hand-written fused BN gradient
+      (ops/norms.py ``bn_train_apply``): residuals are the compute-dtype
+      input + per-channel stats, so no f32 activation exists in the
+      backward either.
 
     vs flax the only difference is rounding (a, b quantized to bf16 before
     the elementwise apply instead of the result after it); parity is
@@ -286,27 +290,26 @@ class _CompactBatchNorm(nn.Module):
 
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
-        else:
-            red = tuple(range(x.ndim - 1))
+            inv = jax.lax.rsqrt(var + self.epsilon) * scale
+            a = inv.astype(self.dtype)
+            b = (bias - mean * inv).astype(self.dtype)
+            return x.astype(self.dtype) * a + b
 
-            def stats(v):
-                vf = v.astype(jnp.float32)  # fused into the reduces by XLA
-                m = jnp.mean(vf, red)
-                m2 = jnp.mean(jnp.square(vf), red)
-                return m, jnp.maximum(m2 - jnp.square(m), 0.0)
-
-            # checkpoint: save only x (compute dtype) and recompute the two
-            # cheap reductions in the backward pass.
-            mean, var = jax.checkpoint(stats)(x)
-            if not self.is_initializing():
-                m = self.momentum
-                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
-                ra_var.value = m * ra_var.value + (1.0 - m) * var
-
-        inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        a = inv.astype(self.dtype)
-        b = (bias - mean * inv).astype(self.dtype)
-        return x.astype(self.dtype) * a + b
+        # Hand-written VJP (ops/norms.py): residuals are the compute-dtype
+        # input + per-channel stats; backward is two fused reductions + one
+        # elementwise combine.  The earlier jax.checkpoint(stats) variant
+        # still built the f32 activation cast in the backward and OOMed
+        # at runtime on-chip at the b128-nochunk point that plain flax BN
+        # fits (logs/r3_ablations.log 2026-08-19 22:50).
+        y, mean, var = bn_train_apply(
+            x.astype(self.dtype), scale, bias, self.epsilon)
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = (m * ra_mean.value
+                             + (1.0 - m) * jax.lax.stop_gradient(mean))
+            ra_var.value = (m * ra_var.value
+                            + (1.0 - m) * jax.lax.stop_gradient(var))
+        return y
 
 
 def upsample_nearest_2x(x: jax.Array) -> jax.Array:
@@ -425,27 +428,16 @@ def instance_norm_2d(x: jax.Array, eps: float = 1e-5,
     InstanceNorm2d(affine=False) semantics, NHWC layout.
 
     ``compact=True`` (cfg.JAX.BN_COMPACT) is the same memory discipline as
-    :class:`_CompactBatchNorm`: stats reduced with f32 accumulation under
-    ``jax.checkpoint`` (backward residual = the bf16 input), then folded
-    into per-(sample,channel) f32 scale/offset applied in the compute
-    dtype — the (B,H,W,C) activation is never promoted to f32."""
+    :class:`_CompactBatchNorm`: stats folded into per-(sample,channel) f32
+    scale/offset applied in the compute dtype with a hand-written VJP
+    (ops/norms.py) — the (B,H,W,C) activation is never promoted to f32 in
+    either pass."""
     if not compact:
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
         var = jnp.var(x32, axis=(1, 2), keepdims=True)
         return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
-
-    def stats(v):
-        vf = v.astype(jnp.float32)  # fused into the reduces by XLA
-        m = jnp.mean(vf, axis=(1, 2))
-        m2 = jnp.mean(jnp.square(vf), axis=(1, 2))
-        return m, jnp.maximum(m2 - jnp.square(m), 0.0)
-
-    mean, var = jax.checkpoint(stats)(x)
-    a = jax.lax.rsqrt(var + eps)
-    b = -mean * a
-    return (x * a[:, None, None, :].astype(x.dtype)
-            + b[:, None, None, :].astype(x.dtype))
+    return instance_norm_train_apply(x, eps)
 
 
 class AdaINNorm(nn.Module):
