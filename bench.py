@@ -160,6 +160,11 @@ def run_bench(force_cpu: bool = False):
                 "REMAT_IMAGE_ENCODER": os.environ.get(
                     "SBA_BENCH_REMAT", "1" if platform == "tpu" else "0"
                 ) == "1",
+                # 'blocks' saves the tagged Mixed-block outputs and
+                # recomputes only the high-res Inception stem (the HBM
+                # hog); 'full' recomputes everything.
+                "REMAT_IMAGE_ENCODER_MODE": os.environ.get(
+                    "SBA_BENCH_REMAT_ENC_MODE", "full"),
                 # chunks=4 was required by the dense (B,B,T,R) grid's HBM
                 # footprint; the fused kernel frees it (chunks=1 measured
                 # faster behind it: 275 vs 298 ms at b128, r3 ablations).

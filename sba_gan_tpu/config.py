@@ -183,6 +183,13 @@ def default_config() -> ConfigDict:
                 # per-chip batch 32 for large-batch HBM headroom (measured:
                 # batch 128 OOMs without it).
                 "REMAT_IMAGE_ENCODER": False,
+                # 'full' recomputes the whole Inception forward in the
+                # backward; 'blocks' saves the checkpoint_name-tagged
+                # Mixed-block outputs (models/inception.py, all <= 35x35)
+                # and recomputes only the high-resolution stem — the stem
+                # activations (299^2..71^2) are what dominate encoder HBM,
+                # while the Mixed blocks carry most of the recompute FLOPs.
+                "REMAT_IMAGE_ENCODER_MODE": "full",
                 # Rematerialize the generator forward in the G backward
                 # (the step keeps no G residuals) — a memory/flops trade
                 # for regimes where G residuals dominate HBM.  Default off;

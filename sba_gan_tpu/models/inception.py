@@ -212,6 +212,13 @@ class InceptionV3Backbone(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # checkpoint_name tags are identity outside a jax.checkpoint whose
+        # policy matches them; under REMAT_IMAGE_ENCODER_MODE='blocks'
+        # (train/gan.py) the tagged Mixed-block outputs become the saved
+        # residuals and only the untagged high-res stem is recomputed.
+        from jax.ad_checkpoint import checkpoint_name
+
+        tag = lambda v: checkpoint_name(v, "enc_block")
         C = partial(BasicConv2d, dtype=self.dtype)
         x = C(32, (3, 3), strides=2, name="Conv2d_1a_3x3")(x, train)
         x = C(32, (3, 3), name="Conv2d_2a_3x3")(x, train)
@@ -220,18 +227,18 @@ class InceptionV3Backbone(nn.Module):
         x = C(80, (1, 1), name="Conv2d_3b_1x1")(x, train)
         x = C(192, (3, 3), name="Conv2d_4a_3x3")(x, train)
         x = max_pool_3x3_s2(x)
-        x = InceptionA(32, dtype=self.dtype, name="Mixed_5b")(x, train)
-        x = InceptionA(64, dtype=self.dtype, name="Mixed_5c")(x, train)
-        x = InceptionA(64, dtype=self.dtype, name="Mixed_5d")(x, train)
-        x = InceptionB(dtype=self.dtype, name="Mixed_6a")(x, train)
-        x = InceptionC(128, dtype=self.dtype, name="Mixed_6b")(x, train)
-        x = InceptionC(160, dtype=self.dtype, name="Mixed_6c")(x, train)
-        x = InceptionC(160, dtype=self.dtype, name="Mixed_6d")(x, train)
-        x = InceptionC(192, dtype=self.dtype, name="Mixed_6e")(x, train)
+        x = tag(InceptionA(32, dtype=self.dtype, name="Mixed_5b")(x, train))
+        x = tag(InceptionA(64, dtype=self.dtype, name="Mixed_5c")(x, train))
+        x = tag(InceptionA(64, dtype=self.dtype, name="Mixed_5d")(x, train))
+        x = tag(InceptionB(dtype=self.dtype, name="Mixed_6a")(x, train))
+        x = tag(InceptionC(128, dtype=self.dtype, name="Mixed_6b")(x, train))
+        x = tag(InceptionC(160, dtype=self.dtype, name="Mixed_6c")(x, train))
+        x = tag(InceptionC(160, dtype=self.dtype, name="Mixed_6d")(x, train))
+        x = tag(InceptionC(192, dtype=self.dtype, name="Mixed_6e")(x, train))
         features = x  # 17 x 17 x 768 region tap (reference model.py:246)
-        x = InceptionD(dtype=self.dtype, name="Mixed_7a")(x, train)
-        x = InceptionE(dtype=self.dtype, name="Mixed_7b")(x, train)
-        x = InceptionE(dtype=self.dtype, name="Mixed_7c")(x, train)
+        x = tag(InceptionD(dtype=self.dtype, name="Mixed_7a")(x, train))
+        x = tag(InceptionE(dtype=self.dtype, name="Mixed_7b")(x, train))
+        x = tag(InceptionE(dtype=self.dtype, name="Mixed_7c")(x, train))
         pooled = jnp.mean(x, axis=(1, 2))  # avg_pool2d(k=8) (model.py:255)
         return features, pooled
 

@@ -194,6 +194,7 @@ def make_gan_train_step(cfg, models: GANModels, mesh=None):
     gamma3 = cfg.TRAIN.SMOOTH.GAMMA3
     smooth_lambda = cfg.TRAIN.SMOOTH.LAMBDA
     remat_image_encoder = cfg.JAX.REMAT_IMAGE_ENCODER
+    remat_encoder_mode = cfg.JAX.REMAT_IMAGE_ENCODER_MODE
     remat_generator = cfg.JAX.REMAT_GENERATOR
     remat_mode = cfg.JAX.REMAT_GENERATOR_MODE
     grad_accum = cfg.TRAIN.GRAD_ACCUM
@@ -364,7 +365,18 @@ def make_gan_train_step(cfg, models: GANModels, mesh=None):
             # peak activation memory by the chunk count.
             encode = lambda img: image_encoder.apply(state.image, img, False)
             if remat_image_encoder:
-                encode = jax.checkpoint(encode)
+                if remat_encoder_mode == "blocks":
+                    # Save the Mixed-block outputs (<= 35x35, tagged in
+                    # models/inception.py) and recompute only the high-res
+                    # stem: the stem's 299^2..71^2 activations are the HBM
+                    # problem, the Mixed blocks are the recompute FLOPs.
+                    encode = jax.checkpoint(
+                        encode,
+                        policy=jax.checkpoint_policies.save_only_these_names(
+                            "enc_block"),
+                    )
+                else:
+                    encode = jax.checkpoint(encode)
             if damsm_chunks > 1:
                 def encode_chunked(img, _enc=encode):
                     bsz = img.shape[0]

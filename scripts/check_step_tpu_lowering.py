@@ -58,6 +58,8 @@ def main():
                 "DTYPE": "bfloat16",
                 "USE_PALLAS": "pallas" in flags,
                 "REMAT_IMAGE_ENCODER": "remat" in flags,
+                "REMAT_IMAGE_ENCODER_MODE": ("blocks" if "encblocks" in flags
+                                             else "full"),
                 "REMAT_GENERATOR": ("rematg" in flags
                                     or "rematgfull" in flags),
                 "REMAT_GENERATOR_MODE": ("full" if "rematgfull" in flags

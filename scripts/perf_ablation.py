@@ -62,7 +62,8 @@ def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
         remat_g=False, loss_dtype="float32", grid_chunks=1,
         sim_impl="xla", sim_tile=16, fold_softmax=False,
         remat_g_mode="stages", upblock_fused=False,
-        upblock_fused_impl="phase3x3", bn_compact=False):
+        upblock_fused_impl="phase3x3", bn_compact=False,
+        remat_enc_mode="full"):
     cfg = cfg_from_dict(
         {
             "TREE": {"BRANCH_NUM": 3},
@@ -72,7 +73,9 @@ def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
                       "SMOOTH": {"GAMMA1": 4.0, "GAMMA2": 5.0,
                                  "GAMMA3": 10.0, "LAMBDA": lam}},
             "JAX": {"DTYPE": "bfloat16", "USE_PALLAS": use_pallas,
-                    "REMAT_IMAGE_ENCODER": remat, "DAMSM_CHUNKS": chunks,
+                    "REMAT_IMAGE_ENCODER": remat,
+                    "REMAT_IMAGE_ENCODER_MODE": remat_enc_mode,
+                    "DAMSM_CHUNKS": chunks,
                     "REMAT_GENERATOR": remat_g,
                     "REMAT_GENERATOR_MODE": remat_g_mode,
                     "LOSS_DTYPE": loss_dtype,
@@ -137,6 +140,7 @@ if __name__ == "__main__":
                   fold_softmax="fold" in flags,
                   upblock_fused="upfused" in flags,
                   bn_compact="bncompact" in flags,
+                  remat_enc_mode="blocks" if "encblocks" in flags else "full",
                   loss_dtype="float32" if "lossf32" in flags else "bfloat16")
         for f in flags:
             if f.startswith("chunks="):
