@@ -183,10 +183,14 @@ def run_bench(force_cpu: bool = False):
                     "SBA_BENCH_SIM_IMPL",
                     "pallas" if platform == "tpu" else "xla"),
                 # Folded upsample+conv UpBlocks (exact identity, 2.25x
-                # fewer G conv FLOPs); default off until the on-chip A/B
-                # (scripts/r3_followup_queue.sh) lands.
-                "UPBLOCK_FUSED": os.environ.get("SBA_BENCH_UPFUSED",
-                                                "0") == "1",
+                # fewer G conv FLOPs).  FLIPPED ON with the convt lowering
+                # (2026-08-20, logs/r3_ablations.log): b128_nochunk_upct
+                # 243.5 ms / 526 img/s vs 272.7 ms / 469 img/s anchor at
+                # otherwise-identical flags; the phase3x3 lowering LOST
+                # (294.1 ms) — the lowering choice, not the fold, decides.
+                "UPBLOCK_FUSED": os.environ.get(
+                    "SBA_BENCH_UPFUSED",
+                    "1" if platform == "tpu" else "0") == "1",
                 # Per-stage generator remat — required memory lever for
                 # batch >= 192 (b192/b256 OOM at compile without it).
                 "REMAT_GENERATOR": os.environ.get("SBA_BENCH_REMATG",
@@ -203,8 +207,10 @@ def run_bench(force_cpu: bool = False):
                 # (ops/word_attention.py; Mosaic parity PASS on-chip).
                 "USE_PALLAS": os.environ.get("SBA_BENCH_WATTN",
                                              "0") == "1",
+                # convt is the measured-best lowering (phase3x3 lost its
+                # on-chip A/B by 50 ms at b128)
                 "UPBLOCK_FUSED_IMPL": os.environ.get("SBA_BENCH_UPIMPL",
-                                                     "phase3x3"),
+                                                     "convt"),
                 # bf16 inputs for the (B,B,T,R) words-loss einsums (f32
                 # softmax/accum); halves the grid footprint, grad cosine
                 # vs f32 = 0.99998 on-chip

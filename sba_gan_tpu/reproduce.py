@@ -45,6 +45,13 @@ def parse_args():
     p.add_argument("--splits", type=int, default=10)
     p.add_argument("--rounds", type=int, default=1)
     p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--r_precision", action="store_true",
+                   help="also report DAMSM R-precision over the eval split "
+                        "(framework extension; needs more eval items than "
+                        "--rp_candidates)")
+    p.add_argument("--rp_candidates", type=int, default=100,
+                   help="R-precision candidate pool size (1 true + K-1 "
+                        "mismatched)")
     p.add_argument("--skip_is", action="store_true",
                    help="samples only, no Inception Score")
     p.add_argument("--is_size", type=int, default=299,
@@ -147,6 +154,13 @@ def main():
         )
         print(f"Inception Score: {mean:.4f} +- {std:.4f} "
               f"({len(imgs)} images, {args.splits} splits)")
+    if args.r_precision:
+        rp_mean, rp_std = trainer.r_precision_eval(
+            num_candidates=args.rp_candidates)
+        result.update(r_precision=round(float(rp_mean), 4),
+                      r_precision_std=round(float(rp_std), 4))
+        print(f"R-precision (top-1 of {args.rp_candidates}): "
+              f"{rp_mean:.4f} +- {rp_std:.4f}")
     print(json.dumps(result))
 
 

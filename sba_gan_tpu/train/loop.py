@@ -287,6 +287,49 @@ class GANTrainer:
         print(f"sampling: wrote {cnt} images -> {out}")
         return out
 
+    def r_precision_eval(self, num_candidates: int = 100, trials: int = 3,
+                         rounds: int = 1):
+        """R-precision over the eval split (framework extension — the
+        reference scores IS only; see evaluation/r_precision.py for the
+        protocol).  Generates one image per test caption, encodes fakes
+        and sentences with the DAMSM encoders held in the train state, and
+        ranks each true caption against mismatched candidates.  Returns
+        (mean, std) over candidate draws."""
+        from sba_gan_tpu.evaluation.r_precision import r_precision_from_codes
+
+        cfg = self.cfg
+        te, ie = self.models.text_encoder, self.models.image_encoder
+
+        @jax.jit
+        def codes(state, captions, cap_lens, fake):
+            _, sent = te.apply(state.text, captions, cap_lens, train=False)
+            _, code = ie.apply(state.image, fake, False)
+            return sent, code
+
+        loader = DataLoader(
+            self.dataset, cfg.TRAIN.BATCH_SIZE,
+            shuffle=False, drop_last=False, num_workers=cfg.WORKERS,
+        )
+        img_codes, sent_codes, cls_ids = [], [], []
+        cnt = 0
+        for r in range(rounds):
+            for batch in loader:
+                fakes, _ = self.sample_fn(
+                    self.state, batch.captions, batch.cap_lens,
+                    jax.random.PRNGKey(7700 + cnt + r * 100003))
+                sent, code = codes(self.state, batch.captions,
+                                   batch.cap_lens, fakes[-1])
+                sent_codes.append(np.asarray(sent))
+                img_codes.append(np.asarray(code))
+                cls_ids.append(np.asarray(batch.class_ids))
+                cnt += batch.captions.shape[0]
+        return r_precision_from_codes(
+            np.concatenate(img_codes), np.concatenate(sent_codes),
+            np.random.default_rng(0),
+            num_candidates=num_candidates, trials=trials,
+            class_ids=np.concatenate(cls_ids),
+        )
+
     def gen_example(self, data_dic):
         """Free-text captions -> per-stage images + attention overlays
         (reference gen_example, trainer.py:432-518).  data_dic maps

@@ -72,6 +72,7 @@ def test_reproduce_end_to_end(tmp_path, monkeypatch):
         "reproduce", "--cfg", str(cfg_path), "--synthetic",
         "--net_g", str(net_g), "--output_dir", str(out),
         "--splits", "2", "--is_size", "75",
+        "--r_precision", "--rp_candidates", "8",
     ])
     reproduce.main()
 
@@ -93,8 +94,11 @@ def test_reproduce_skip_is_without_checkpoints(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(sys, "argv", [
         "reproduce", "--cfg", str(cfg_path), "--synthetic",
         "--output_dir", str(out), "--skip_is",
+        "--r_precision", "--rp_candidates", "8",
     ])
     reproduce.main()
     tail = capsys.readouterr().out.strip().splitlines()[-1]
     result = json.loads(tail)
     assert os.path.isdir(result["samples_dir"])
+    # random-init codes: R-precision exists and is a valid probability
+    assert 0.0 <= result["r_precision"] <= 1.0
