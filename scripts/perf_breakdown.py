@@ -41,6 +41,11 @@ from sba_gan_tpu.train import build_models, init_gan_state, make_gan_train_step
 
 
 def flagship_cfg(lam=5.0, remat=True, chunks=4):
+    # env overrides so trace captures / slice decompositions can run at
+    # the CURRENT measured-best operating point (they default to the
+    # round-1 flags otherwise): STEP_SIM_IMPL, STEP_CHUNKS, STEP_UPFUSED,
+    # STEP_UPIMPL, STEP_ENC_MODE, STEP_REMAT, STEP_BNC.
+    env = os.environ.get
     return cfg_from_dict(
         {
             "TREE": {"BRANCH_NUM": 3},
@@ -49,8 +54,16 @@ def flagship_cfg(lam=5.0, remat=True, chunks=4):
             "TRAIN": {"BATCH_SIZE": 128,
                       "SMOOTH": {"GAMMA1": 4.0, "GAMMA2": 5.0,
                                  "GAMMA3": 10.0, "LAMBDA": lam}},
-            "JAX": {"DTYPE": "bfloat16", "REMAT_IMAGE_ENCODER": remat,
-                    "DAMSM_CHUNKS": chunks, "LOSS_DTYPE": "bfloat16"},
+            "JAX": {"DTYPE": "bfloat16",
+                    "REMAT_IMAGE_ENCODER": env(
+                        "STEP_REMAT", "1" if remat else "0") == "1",
+                    "REMAT_IMAGE_ENCODER_MODE": env("STEP_ENC_MODE", "full"),
+                    "DAMSM_CHUNKS": int(env("STEP_CHUNKS", str(chunks))),
+                    "DAMSM_SIM_IMPL": env("STEP_SIM_IMPL", "xla"),
+                    "UPBLOCK_FUSED": env("STEP_UPFUSED", "0") == "1",
+                    "UPBLOCK_FUSED_IMPL": env("STEP_UPIMPL", "convt"),
+                    "BN_COMPACT": env("STEP_BNC", "0") == "1",
+                    "LOSS_DTYPE": "bfloat16"},
         }
     )
 
