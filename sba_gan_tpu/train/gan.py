@@ -213,10 +213,14 @@ def make_gan_train_step(cfg, models: GANModels, mesh=None):
         upf = (f" upfused={cfg.JAX.UPBLOCK_FUSED_IMPL}"
                if cfg.JAX.UPBLOCK_FUSED else "")
         bnc = " bn_compact" if cfg.JAX.BN_COMPACT else ""
+        enc = (f" remat_enc={cfg.JAX.REMAT_IMAGE_ENCODER_MODE}"
+               if cfg.JAX.REMAT_IMAGE_ENCODER else " remat_enc=off")
+        rg = (f" remat_g={cfg.JAX.REMAT_GENERATOR_MODE}"
+              if cfg.JAX.REMAT_GENERATOR else "")
         print(f"[sba_gan_tpu] GAN step build: DAMSM_SIM_IMPL={sim_impl} "
               f"tile={sim_tile} chunks={damsm_chunks} "
               f"grid_chunks={grid_chunks} loss_dtype={cfg.JAX.LOSS_DTYPE}"
-              f"{upf}{bnc}",
+              f"{upf}{bnc}{enc}{rg}",
               flush=True)
     g_tx, d_tx = gan_optimizers(cfg)
     generator = models.generator

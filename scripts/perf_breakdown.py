@@ -24,6 +24,8 @@ perf_ablation.py).  Modes:
                                                       # as the step builds it
     python scripts/perf_breakdown.py sample 128       # EMA inference
                                                       # (text enc + G fwd)
+    python scripts/perf_breakdown.py pretrain 32      # DAMSM pretrain step
+                                                      # (299px, BRANCH=1)
 """
 
 import os
@@ -82,6 +84,9 @@ def fence_timed(fn, args, n=10, fetch=None):
 
 
 def main():
+    if os.environ.get("STEP_PLATFORM") == "cpu":
+        # env vars alone don't switch the preloaded axon backend
+        jax.config.update("jax_platforms", "cpu")
     mode, b = sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 128
     cfg = flagship_cfg(lam=0.0 if mode == "nodamsm" else 5.0)
     models = build_models(cfg, 5450)
@@ -216,6 +221,71 @@ def main():
             fetch=lambda o: float(jnp.sum(o[0][-1][0, 0, 0])))
         print(f"{mode}: batch={b} {dt * 1000:.1f} ms "
               f"{b / dt:.0f} img/s", flush=True)
+        return
+    elif mode == "pretrain":
+        # The OTHER training workload: the DAMSM pretrain step exactly as
+        # DAMSMTrainer jits it (train/damsm.py:141-219; reference
+        # pretrain_DAMSM.py:49-130) at DAMSM/bird.yml dims — 299px images,
+        # BRANCH_NUM=1, joint bi-LSTM + frozen-trunk Inception training
+        # with grad clip and masked trunk grads.  Honest fence: host fetch
+        # of the step's total loss inside the window.
+        from sba_gan_tpu.train.damsm import DAMSMTrainer, build_damsm_models
+
+        env = os.environ.get
+        pcfg = cfg_from_dict(
+            {
+                "TREE": {"BRANCH_NUM": 1, "BASE_SIZE": 299},
+                "TRAIN": {"BATCH_SIZE": b, "ENCODER_LR": 2e-4,
+                          "RNN_GRAD_CLIP": 0.25,
+                          "SMOOTH": {"GAMMA1": 4.0, "GAMMA2": 5.0,
+                                     "GAMMA3": 10.0}},
+                "TEXT": {"EMBEDDING_DIM": 256, "WORDS_NUM": 18},
+                # STEP_INC_INPUT/STEP_DTYPE: CPU smoke needs 75px + f32
+                # (bf16 einsums are TPU-only; 299px Inception doesn't
+                # compile in reasonable time on the 1-core host)
+                "MODEL": {"INCEPTION_INPUT": int(env("STEP_INC_INPUT",
+                                                     "299"))},
+                "JAX": {"DTYPE": env("STEP_DTYPE", cfg.JAX.DTYPE),
+                        "LOSS_DTYPE": env("STEP_DTYPE", cfg.JAX.LOSS_DTYPE),
+                        "DAMSM_SIM_IMPL": cfg.JAX.DAMSM_SIM_IMPL},
+            }
+        )
+        dmodels = build_damsm_models(pcfg, 5450)
+        trainer = DAMSMTrainer(pcfg, dmodels, 5450)
+        state = trainer.init_state(key)
+        size = pcfg.MODEL.INCEPTION_INPUT
+        img = jnp.asarray(
+            rng.uniform(-1, 1, (b, size, size, 3)).astype(np.float32))
+        t = pcfg.TEXT.WORDS_NUM
+        caps = np.zeros((b, t), np.int32)
+        lens = rng.integers(4, t + 1, (b,)).astype(np.int32)
+        for i, l in enumerate(lens):
+            caps[i, :l] = rng.integers(1, 5450, (l,))
+        cls = jnp.asarray(rng.integers(0, 200, (b,)).astype(np.int32))
+
+        def pstep(state, img, caps, lens, cls):
+            return trainer.train_step(state, img, caps, lens, cls,
+                                      jax.random.PRNGKey(1))
+
+        def pfence(o):
+            state, logs = o
+            return float(logs["total"])
+
+        # thread state so consecutive steps chain (the fence then forces
+        # every prior step through the dependency chain)
+        out = pstep(state, img, jnp.asarray(caps), jnp.asarray(lens), cls)
+        pfence(out)
+        n = 10
+        t0 = time.perf_counter()
+        st = out[0]
+        for _ in range(n):
+            st, logs = pstep(st, img, jnp.asarray(caps), jnp.asarray(lens),
+                             cls)
+        v = float(logs["total"])
+        dt = (time.perf_counter() - t0) / n
+        assert np.isfinite(v), v
+        print(f"{mode}: batch={b} {dt * 1000:.1f} ms {b / dt:.0f} img/s",
+              flush=True)
         return
     elif mode in ("dsteps", "nodamsm"):
         # full step; for dsteps the proxy is nodamsm-vs-full decomposition
