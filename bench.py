@@ -29,6 +29,30 @@ import numpy as np
 REFERENCE_IMAGES_PER_SEC = 20.0  # unpublished; conservative single-GPU estimate
 
 
+def _apply_tuning():
+    """Fold bench_tuning.json into the environment as *defaults*.
+
+    The measurement queues (scripts/r3_salvage_queue.sh) write this file
+    ONLY after an on-chip A/B win, so the driver's bare `python bench.py`
+    at round end picks up the measured-best operating point even when the
+    flip lands between interactive sessions.  Explicitly-set SBA_BENCH_*
+    env vars always win over the file; a missing or malformed file is a
+    no-op.  os.environ mutations here propagate to the --run child."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_tuning.json")
+    try:
+        with open(path) as f:
+            tuning = json.load(f)
+    except (OSError, ValueError):
+        return
+    if not isinstance(tuning, dict):
+        return
+    for k, v in tuning.items():
+        if isinstance(k, str) and k.startswith("SBA_BENCH_") \
+                and isinstance(v, str):
+            os.environ.setdefault(k, v)
+
+
 def _backend_usable(timeout: int = 300, attempts: int = 3) -> bool:
     """Probe the preloaded backend in a SUBPROCESS with a hard timeout.
 
@@ -75,6 +99,7 @@ def main():
     backend; the parent retries once on a quick transient failure (a fast
     rc!=0, not a timeout — a 40-min compile timeout would just burn again)
     and falls back to the CPU smoke line otherwise."""
+    _apply_tuning()
     if "--run" in sys.argv:
         run_bench(force_cpu=sys.argv[sys.argv.index("--run") + 1] == "cpu")
         return
