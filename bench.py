@@ -249,13 +249,16 @@ def run_bench(force_cpu: bool = False):
         }
     )
     if platform != "tpu":
-        # CPU smoke mode: tiny dims so the bench completes anywhere.
+        # CPU smoke mode: tiny dims so the bench completes anywhere.  The
+        # batch is pinned too: a bench_tuning.json written for a large-batch
+        # TPU operating point must not inflate the outage fallback.
         cfg = cfg_from_dict(
             {
                 "GAN": {"GF_DIM": 8, "DF_DIM": 8, "Z_DIM": 8, "W_DIM": 16,
                         "CONDITION_DIM": 8, "R_NUM": 1},
                 "TEXT": {"EMBEDDING_DIM": 32, "WORDS_NUM": 6},
                 "MODEL": {"INCEPTION_INPUT": 75},
+                "TRAIN": {"BATCH_SIZE": 4},
             },
             base=cfg,
         )
