@@ -16,10 +16,13 @@ number that matters and is recorded per round in BENCH_r{N}.json.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
+import signal
 import subprocess
 import sys
+import tempfile
 import time
 
 import jax
@@ -27,6 +30,41 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_IMAGES_PER_SEC = 20.0  # unpublished; conservative single-GPU estimate
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+# Written by run_bench on every successful TPU measurement (and by the
+# measurement queues): the most recent real-chip figure with provenance,
+# so an outage round's artifact still carries the measured number.
+LAST_TPU_PATH = os.path.join(_REPO, "logs", "last_tpu_bench.json")
+
+
+def _read_last_tpu() -> dict | None:
+    try:
+        with open(LAST_TPU_PATH) as f:
+            d = json.load(f)
+        if isinstance(d, dict) and isinstance(d.get("value"), (int, float)):
+            return d
+    except (OSError, ValueError):
+        pass
+    return None
+
+
+def _write_last_tpu(value: float) -> None:
+    try:
+        os.makedirs(os.path.dirname(LAST_TPU_PATH), exist_ok=True)
+        with open(LAST_TPU_PATH, "w") as f:
+            json.dump({
+                "value": value,
+                "unit": "images/sec",
+                "metric": "gan_train_step_images_per_sec_256px_tpu",
+                "iso_ts": datetime.datetime.now(datetime.timezone.utc)
+                .isoformat(timespec="seconds"),
+                "flags": {k: v for k, v in os.environ.items()
+                          if k.startswith("SBA_BENCH_")},
+            }, f)
+            f.write("\n")
+    except OSError:
+        pass
 
 
 def _apply_tuning():
@@ -53,80 +91,131 @@ def _apply_tuning():
             os.environ.setdefault(k, v)
 
 
-def _backend_usable(timeout: int = 300, attempts: int = 3) -> bool:
-    """Probe the preloaded backend in a SUBPROCESS with a hard timeout.
+_CHILD = None  # live TPU child Popen, killed by the SIGTERM fallback
 
-    The axon TPU tunnel goes down for hours at a time, and a dead tunnel
-    HANGS backend init rather than erroring — a bench that probes in-process
-    would never print its JSON line.  The probe is a tiny matmul with a host
-    value fetch (block_until_ready does not fence on axon — CLAUDE.md).
 
-    Retries: a single probe can flake while the tunnel is healthy (both
-    in-queue bench runs on 2026-08-19 probed false between ablation items
-    that ran fine on-chip), and a false negative downgrades the round's
-    recorded benchmark to the CPU smoke line — so treat the probe as
-    usable if ANY attempt succeeds, and log failures to stderr for the
-    queue log."""
-    for i in range(attempts):
+def _emit_fallback_line(reason: str) -> None:
+    """Print a parsed JSON line when the live measurement cannot finish.
+
+    BENCH_r03 recorded NOTHING (rc=124, parsed=null) while the same chip
+    had measured 578/574 img/s that morning — the driver's budget died
+    inside the old 3x300 s probes.  The fallback line is honestly labeled
+    (no live measurement happened) and carries the most recent measured
+    TPU figure with its timestamp so the artifact is never empty."""
+    last = _read_last_tpu()
+    out = {
+        "metric": "gan_train_step_images_per_sec_tpu_last_measured",
+        "value": last["value"] if last else 0.0,
+        "unit": "images/sec",
+        "vs_baseline": (round(last["value"] / REFERENCE_IMAGES_PER_SEC, 2)
+                        if last else None),
+        "note": f"no live measurement ({reason}); value is the most recent "
+                f"measured TPU bench line"
+                + (f" from {last.get('iso_ts', '?')}" if last else
+                   " (none recorded — value 0 is a placeholder)"),
+    }
+    print(json.dumps(out), flush=True)
+
+
+def _on_term(signum, frame):  # pragma: no cover - signal path
+    if _CHILD is not None:
         try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp; "
-                 "x = jnp.ones((256, 256)); print(float((x @ x).sum()))"],
-                capture_output=True, timeout=timeout,
-            )
-            if r.returncode == 0:
-                return True
-            print(f"bench: tunnel probe attempt {i + 1}/{attempts} rc="
-                  f"{r.returncode}: {r.stderr.decode(errors='replace')[-500:]}",
+            _CHILD.kill()
+        except OSError:
+            pass
+    _emit_fallback_line(f"interrupted by signal {signum} before completion")
+    os._exit(0)
+
+
+def _tpu_attempt(probe_timeout: float, budget: float):
+    """One TPU measurement child with an in-band liveness probe.
+
+    The child prints `BENCH_BACKEND_UP` right after a host-fetched matmul
+    on its backend; a dead tunnel HANGS backend init instead of erroring
+    (CLAUDE.md), so the parent kills any child that has not signaled
+    within probe_timeout.  Folding the probe into the measurement child
+    (instead of round 3's separate 3x300 s probe processes) means a slow
+    but live init flows straight into the measurement with no second
+    backend bring-up, and a hung init costs probe_timeout, not 900 s.
+
+    Returns (probed_up, json_line_or_None)."""
+    global _CHILD
+    with tempfile.TemporaryFile() as out, tempfile.TemporaryFile() as err:
+        _CHILD = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--run", "tpu"],
+            stdout=out, stderr=err,
+        )
+        t0 = time.time()
+        probed = False
+        while time.time() - t0 < budget:
+            rc = _CHILD.poll()
+            out.seek(0)
+            text = out.read().decode(errors="replace")
+            if not probed and "BENCH_BACKEND_UP" in text:
+                probed = True
+            if rc is not None:
+                break
+            if not probed and time.time() - t0 > probe_timeout:
+                _CHILD.kill()
+                _CHILD.wait()
+                _CHILD = None
+                print(f"bench: backend gave no liveness signal in "
+                      f"{probe_timeout:.0f}s; killed child", file=sys.stderr)
+                return False, None
+            time.sleep(2)
+        else:  # budget exhausted with child alive
+            _CHILD.kill()
+            _CHILD.wait()
+            _CHILD = None
+            print(f"bench: TPU attempt exceeded {budget:.0f}s budget",
                   file=sys.stderr)
-        except subprocess.TimeoutExpired:
-            print(f"bench: tunnel probe attempt {i + 1}/{attempts} timed out "
-                  f"after {timeout}s", file=sys.stderr)
-        time.sleep(30)
-    return False
+            return True, None
+        err.seek(0)
+        sys.stderr.write(err.read().decode(errors="replace")[-2000:])
+        rc = _CHILD.returncode
+        _CHILD = None
+        line = _last_json_line(text)
+        if rc == 0 and line:
+            return True, line
+        print(f"bench: TPU child failed rc={rc} after "
+              f"{time.time() - t0:.0f}s", file=sys.stderr)
+        return probed, None
 
 
 def main():
-    """Orchestrate: probe the tunnel, run the measurement in a CHILD process
-    (one bench config per process — HBM spill hazard, CLAUDE.md), and make
-    sure ONE JSON line is printed no matter how the TPU attempt dies.
+    """Orchestrate: run the measurement in a CHILD process (one bench
+    config per process — HBM spill hazard, CLAUDE.md) and make sure ONE
+    parsed JSON line is printed no matter how the TPU attempt dies —
+    including the driver killing THIS process (SIGTERM handler).
 
-    Why a child: the 2026-08-19 08:05 queue run probed OK, then hit a
-    transient FAILED_PRECONDITION *mid-measurement* and crashed with rc=1
-    and no JSON line — if that happens during the driver's end-of-round
-    run, BENCH_r{N}.json records nothing.  A child isolates the poisoned
-    backend; the parent retries once on a quick transient failure (a fast
-    rc!=0, not a timeout — a 40-min compile timeout would just burn again)
-    and falls back to the CPU smoke line otherwise."""
+    Budget shape (driver budget is ~10 min when the tunnel is dead):
+    probe is in-band (child prints a marker after a fetched matmul);
+    2 attempts x 150 s probe window covers a transiently-hung init
+    (2026-08-20 10:37: probe attempt 1 timed out at 300 s, attempt 2
+    succeeded a minute later), then the CPU smoke fallback runs
+    in-process.  A child that probes up gets the full compile budget."""
     _apply_tuning()
     if "--run" in sys.argv:
         run_bench(force_cpu=sys.argv[sys.argv.index("--run") + 1] == "cpu")
         return
-    tpu_ok = (os.environ.get("JAX_PLATFORMS", "") != "cpu"
-              and _backend_usable())
-    attempts = [("tpu", 2700), ("tpu", 2700)] if tpu_ok else []
-    for i, (mode, budget) in enumerate(attempts):
-        t0 = time.time()
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--run", mode],
-                capture_output=True, timeout=budget,
-            )
-        except subprocess.TimeoutExpired:
-            print(f"bench: TPU attempt {i + 1} timed out after {budget}s; "
-                  "not retrying (compile-scale hang)", file=sys.stderr)
-            break
-        sys.stderr.write(r.stderr.decode(errors="replace")[-2000:])
-        line = _last_json_line(r.stdout.decode(errors="replace"))
-        if r.returncode == 0 and line:
-            print(line)
-            return
-        print(f"bench: TPU attempt {i + 1} failed rc={r.returncode} "
-              f"after {time.time() - t0:.0f}s", file=sys.stderr)
-        if time.time() - t0 > 600:
-            break  # not a quick transient; don't burn another compile
-        time.sleep(60)
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+    probe_timeout = float(os.environ.get("SBA_BENCH_PROBE_TIMEOUT", "150"))
+    attempts = int(os.environ.get("SBA_BENCH_PROBE_ATTEMPTS", "2"))
+    budget = float(os.environ.get("SBA_BENCH_TPU_BUDGET", "2400"))
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        for i in range(attempts):
+            probed, line = _tpu_attempt(probe_timeout, budget)
+            if line:
+                print(line, flush=True)
+                return
+            if probed:
+                # Backend was up and the measurement still died (mid-run
+                # transient or compile-scale hang): one more child only if
+                # the failure was quick is round 3's policy; keep it but
+                # never loop past the attempt cap.
+                continue
+        print("bench: falling back to CPU smoke line", file=sys.stderr)
     run_bench(force_cpu=True)
 
 
@@ -143,6 +232,11 @@ def _last_json_line(text: str) -> str | None:
 
 
 def run_bench(force_cpu: bool = False):
+    if not force_cpu and os.environ.get("SBA_BENCH_FAKE_HANG"):
+        # Test-only: simulate the dead-tunnel failure mode (backend init
+        # hangs, no error) so the parent's probe/fallback path can be
+        # exercised without a real outage.
+        time.sleep(10 ** 6)
     if force_cpu or os.environ.get("JAX_PLATFORMS", "") == "cpu":
         # Dead tunnel (or CPU explicitly requested): fall back to an honest
         # CPU smoke number instead of hanging the driver.  The config
@@ -159,6 +253,13 @@ def run_bench(force_cpu: bool = False):
     )
 
     platform = jax.devices()[0].platform
+    if not force_cpu:
+        # In-band liveness probe: a host value fetch proves the backend
+        # executes (block_until_ready does not fence on axon — CLAUDE.md).
+        # The parent kills this process if the marker doesn't appear in time.
+        x = jnp.ones((256, 256))
+        assert float((x @ x).sum()) == 256.0 * 256 * 256
+        print(f"BENCH_BACKEND_UP {platform}", flush=True)
     # Flagship dims (configs/bird_style.yml); bfloat16 compute on TPU.
     cfg = cfg_from_dict(
         {
@@ -332,16 +433,23 @@ def run_bench(force_cpu: bool = False):
             "unit": "images/sec",
             "vs_baseline": round(ips / REFERENCE_IMAGES_PER_SEC, 2),
         }
+        _write_last_tpu(out["value"])
     else:
         # Outage fallback: tiny dims on CPU.  The value is a liveness smoke
         # check, comparable to nothing — name it so and don't emit a ratio
-        # that could be plotted against the TPU numbers.
+        # that could be plotted against the TPU numbers.  last_tpu carries
+        # the most recent real-chip measurement with its timestamp so the
+        # round artifact still shows the measured figure (VERDICT r3 #1).
         out = {
             "metric": "gan_train_step_images_per_sec_cpu_smoke",
             "value": round(ips, 2),
             "unit": "images/sec",
             "vs_baseline": None,
         }
+        last = _read_last_tpu()
+        if last:
+            out["last_tpu"] = {"value": last["value"],
+                               "iso_ts": last.get("iso_ts")}
     print(json.dumps(out))
 
 

@@ -64,3 +64,36 @@ def test_tuning_missing_or_malformed_is_noop(bench_copy, monkeypatch,
     before = dict(os.environ)
     mod._apply_tuning()
     assert dict(os.environ) == before
+
+
+def test_last_tpu_roundtrip_and_fallback_line(bench_copy, monkeypatch,
+                                              capsys):
+    """The un-losable artifact contract (VERDICT r3 next-#1): every
+    successful TPU bench writes logs/last_tpu_bench.json, and the fallback
+    line (printed on driver SIGTERM or dead-tunnel CPU smoke) carries that
+    figure with its timestamp instead of recording nothing."""
+    mod, d = bench_copy
+    mod._write_last_tpu(512.25)
+    last = mod._read_last_tpu()
+    assert last["value"] == 512.25 and "iso_ts" in last
+    mod._emit_fallback_line("test reason")
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(out)
+    assert rec["metric"] == "gan_train_step_images_per_sec_tpu_last_measured"
+    assert rec["value"] == 512.25
+    assert "test reason" in rec["note"]
+
+
+def test_last_tpu_missing_file_placeholder(bench_copy, capsys):
+    mod, d = bench_copy
+    assert mod._read_last_tpu() is None
+    mod._emit_fallback_line("no file")
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] == 0.0 and rec["vs_baseline"] is None
+
+
+def test_last_json_line_parser(bench_copy):
+    mod, _ = bench_copy
+    text = 'BENCH_BACKEND_UP tpu\nnoise {bad\n{"a": 1}\ntrailer'
+    assert mod._last_json_line(text) == '{"a": 1}'
+    assert mod._last_json_line("no json here") is None
