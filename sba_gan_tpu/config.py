@@ -189,6 +189,11 @@ def default_config() -> ConfigDict:
                 # and recomputes only the high-resolution stem — the stem
                 # activations (299^2..71^2) are what dominate encoder HBM,
                 # while the Mixed blocks carry most of the recompute FLOPs.
+                # 'stem' is the dual: save everything EXCEPT the tagged
+                # stem activations — minimum recompute (~0.9 of the
+                # encoder's 1.45 TFLOP fwd stays saved at b128), maximum
+                # residual memory short of no remat at all; compose with
+                # BN_COMPACT for headroom.
                 "REMAT_IMAGE_ENCODER_MODE": "full",
                 # Rematerialize the generator forward in the G backward
                 # (the step keeps no G residuals) — a memory/flops trade

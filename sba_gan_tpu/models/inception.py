@@ -85,16 +85,26 @@ def avg_pool_3x3_s1_pad1(x):
 
 
 class BasicConv2d(nn.Module):
-    """conv(bias=False) + BN(eps=0.001) + relu (torchvision BasicConv2d)."""
+    """conv(bias=False) + BN(eps=0.001) + relu (torchvision BasicConv2d).
+
+    ``tag``: checkpoint_name applied to every intermediate (conv out, bn
+    out, relu out) — lets a ``save_anything_except_these_names`` remat
+    policy exclude exactly this layer's activations from the saved
+    residual set (REMAT_IMAGE_ENCODER_MODE='stem', train/gan.py)."""
 
     features: int
     kernel: Tuple[int, int] = (3, 3)
     strides: int = 1
     padding: Any = 0
     dtype: Dtype = jnp.float32
+    tag: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from jax.ad_checkpoint import checkpoint_name
+
+        name = (lambda v: checkpoint_name(v, self.tag)) if self.tag \
+            else (lambda v: v)
         x = nn.Conv(
             self.features,
             self.kernel,
@@ -104,6 +114,7 @@ class BasicConv2d(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
+        x = name(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             epsilon=0.001,
@@ -111,7 +122,7 @@ class BasicConv2d(nn.Module):
             dtype=self.dtype,
             name="bn",
         )(x)
-        return nn.relu(x)
+        return name(nn.relu(name(x)))
 
 
 class InceptionA(nn.Module):
@@ -216,17 +227,23 @@ class InceptionV3Backbone(nn.Module):
         # policy matches them; under REMAT_IMAGE_ENCODER_MODE='blocks'
         # (train/gan.py) the tagged Mixed-block outputs become the saved
         # residuals and only the untagged high-res stem is recomputed.
+        # The DUAL mode 'stem' keeps everything EXCEPT the 'enc_stem'-tagged
+        # stem activations (>= 71x71 — the HBM hog at 299^2..147^2) and
+        # recomputes only the stem in the backward: ~0.9 TFLOP at b128
+        # instead of the full 1.45 TFLOP encoder recompute.
         from jax.ad_checkpoint import checkpoint_name
 
         tag = lambda v: checkpoint_name(v, "enc_block")
+        stem = lambda v: checkpoint_name(v, "enc_stem")
         C = partial(BasicConv2d, dtype=self.dtype)
-        x = C(32, (3, 3), strides=2, name="Conv2d_1a_3x3")(x, train)
-        x = C(32, (3, 3), name="Conv2d_2a_3x3")(x, train)
-        x = C(64, (3, 3), padding=1, name="Conv2d_2b_3x3")(x, train)
-        x = max_pool_3x3_s2(x)
-        x = C(80, (1, 1), name="Conv2d_3b_1x1")(x, train)
-        x = C(192, (3, 3), name="Conv2d_4a_3x3")(x, train)
-        x = max_pool_3x3_s2(x)
+        S = partial(BasicConv2d, dtype=self.dtype, tag="enc_stem")
+        x = S(32, (3, 3), strides=2, name="Conv2d_1a_3x3")(x, train)
+        x = S(32, (3, 3), name="Conv2d_2a_3x3")(x, train)
+        x = S(64, (3, 3), padding=1, name="Conv2d_2b_3x3")(x, train)
+        x = stem(max_pool_3x3_s2(x))
+        x = S(80, (1, 1), name="Conv2d_3b_1x1")(x, train)
+        x = S(192, (3, 3), name="Conv2d_4a_3x3")(x, train)
+        x = stem(max_pool_3x3_s2(x))
         x = tag(InceptionA(32, dtype=self.dtype, name="Mixed_5b")(x, train))
         x = tag(InceptionA(64, dtype=self.dtype, name="Mixed_5c")(x, train))
         x = tag(InceptionA(64, dtype=self.dtype, name="Mixed_5d")(x, train))
@@ -263,6 +280,11 @@ class CNNEncoder(nn.Module):
             x = resize_bilinear_align_corners(
                 x, (self.input_size, self.input_size)
             )
+            # the 299^2 resized image (f32 when fed f32 fakes) is the
+            # single largest stem tensor — exclude it under 'stem' remat
+            from jax.ad_checkpoint import checkpoint_name
+
+            x = checkpoint_name(x, "enc_stem")
         x = x.astype(self.dtype)
         features, pooled = InceptionV3Backbone(dtype=self.dtype, name="backbone")(
             x, train

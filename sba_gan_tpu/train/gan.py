@@ -379,6 +379,19 @@ def make_gan_train_step(cfg, models: GANModels, mesh=None):
                         policy=jax.checkpoint_policies.save_only_these_names(
                             "enc_block"),
                     )
+                elif remat_encoder_mode == "stem":
+                    # Dual of 'blocks': save EVERYTHING except the
+                    # 'enc_stem'-tagged high-res stem activations — the
+                    # backward recomputes only the 299^2..71^2 stem
+                    # (~0.9 TFLOP at b128) instead of the whole encoder
+                    # (1.45 TFLOP).  Costs the Mixed-block residual memory
+                    # that 'blocks'/'full' free; compose with BN_COMPACT
+                    # for the headroom (VERDICT r3 next-#3).
+                    encode = jax.checkpoint(
+                        encode,
+                        policy=jax.checkpoint_policies
+                        .save_anything_except_these_names("enc_stem"),
+                    )
                 else:
                     encode = jax.checkpoint(encode)
             if damsm_chunks > 1:

@@ -59,6 +59,7 @@ def main():
                 "USE_PALLAS": "pallas" in flags,
                 "REMAT_IMAGE_ENCODER": "remat" in flags,
                 "REMAT_IMAGE_ENCODER_MODE": ("blocks" if "encblocks" in flags
+                                             else "stem" if "encstem" in flags
                                              else "full"),
                 "REMAT_GENERATOR": ("rematg" in flags
                                     or "rematgfull" in flags),

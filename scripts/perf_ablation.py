@@ -140,7 +140,9 @@ if __name__ == "__main__":
                   fold_softmax="fold" in flags,
                   upblock_fused="upfused" in flags,
                   bn_compact="bncompact" in flags,
-                  remat_enc_mode="blocks" if "encblocks" in flags else "full",
+                  remat_enc_mode=("blocks" if "encblocks" in flags
+                                  else "stem" if "encstem" in flags
+                                  else "full"),
                   loss_dtype="float32" if "lossf32" in flags else "bfloat16")
         for f in flags:
             if f.startswith("chunks="):

@@ -349,15 +349,17 @@ def test_staged_generator_remat_matches_plain(rng):
 
 def test_blocks_encoder_remat_matches_full(rng):
     """REMAT_IMAGE_ENCODER_MODE='blocks' (save only the checkpoint_name
-    'enc_block' Mixed outputs, recompute the stem) is a pure memory/flops
-    trade: one step's losses must match both mode='full' and no remat."""
+    'enc_block' Mixed outputs, recompute the stem), its dual 'stem' (save
+    everything EXCEPT the tagged stem activations, recompute only the
+    stem), and 'full' are pure memory/flops trades: one step's losses
+    must match the no-remat step for every mode."""
     cfg_a = tiny_cfg(**{"TREE.BRANCH_NUM": 1})
     models = build_models(cfg_a, N_WORDS)
     state = init_gan_state(cfg_a, models, jax.random.PRNGKey(0))
     imgs, captions, cap_lens, class_ids = make_batch(cfg_a, rng, 8)
     args = (state, imgs, captions, cap_lens, class_ids, jax.random.PRNGKey(9))
     _, logs_a = jax.jit(make_gan_train_step(cfg_a, models))(*args)
-    for mode in ("full", "blocks"):
+    for mode in ("full", "blocks", "stem"):
         cfg_b = tiny_cfg(**{"TREE.BRANCH_NUM": 1,
                             "JAX.REMAT_IMAGE_ENCODER": True,
                             "JAX.REMAT_IMAGE_ENCODER_MODE": mode})
