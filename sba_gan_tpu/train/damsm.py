@@ -155,6 +155,20 @@ class DAMSMTrainer:
             b = captions.shape[0]
             labels = jnp.arange(b, dtype=jnp.int32)
             if train:
+                # Freeze the trunk INSIDE the graph: stop_gradient on the
+                # frozen parameter leaves lets XLA dead-code-eliminate the
+                # whole trunk backward (dgrad+wgrad at 299^2 — the bulk of
+                # the step; the images are data, so nothing upstream needs
+                # their gradient either).  The reference reaches the same
+                # trained state by masking grads after a full backward
+                # (requires_grad=False, model.py:170-174); grads here are
+                # bit-identical (exact zeros on frozen leaves) with the
+                # backward cost removed.
+                mask = image_trainable_mask(image_params, unfreeze_mixed7)
+                image_params = jax.tree.map(
+                    lambda p, m: p if m else jax.lax.stop_gradient(p),
+                    image_params, mask,
+                )
                 region, code, mut = _apply_image(
                     image_encoder, image_params, batch_stats, img, True
                 )
@@ -200,7 +214,11 @@ class DAMSMTrainer:
                 img, captions, cap_lens, class_ids, rng,
             )
             text_grads, image_grads = grads
-            # freeze the Inception trunk: zero masked grads (model.py:170-174)
+            # Trunk freeze (model.py:170-174): losses_fn's stop_gradient
+            # already makes frozen-leaf grads exact zeros (and removes the
+            # trunk backward from the graph); the explicit mask here is
+            # free insurance (XLA DCEs zeros_like of zeros) in case the
+            # in-graph mask ever drifts from this one.
             mask = image_trainable_mask(state.image_params, unfreeze_mixed7)
             image_grads = jax.tree.map(
                 lambda g, m: g if m else jnp.zeros_like(g), image_grads, mask

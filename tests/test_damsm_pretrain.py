@@ -117,3 +117,24 @@ def test_reset_optimizer_sets_lr(trainer):
     expect = epoch_lr(trainer.base_lr, 5)
     assert np.isclose(float(text_opt[1].hyperparams["learning_rate"]), expect)
     assert np.isclose(float(image_opt.hyperparams["learning_rate"]), expect)
+
+
+def test_bert_variant_trains_mixed7_through_stopgrad_freeze(rng):
+    """The in-graph stop_gradient freeze (losses_fn) must not over-freeze:
+    in the BERT variant Mixed_7a/7b/7c are trainable (model_bert.py:227-230)
+    and must still move after a step, while the rest of the trunk stays
+    frozen.  Guards the DCE optimization that removed the trunk backward."""
+    cfg = cfg_from_dict({"MODEL": {"TEXT_ENCODER": "bert"}}, base=tiny_cfg())
+    models = build_damsm_models(cfg, N_WORDS)
+    tr = DAMSMTrainer(cfg, models, N_WORDS)
+    assert tr.unfreeze_mixed7
+    state = tr.init_state(jax.random.PRNGKey(0))
+    batch = make_batch(rng, 4, 6, 75)
+    new_state, logs = tr.train_step(state, *batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs["total"]))
+    m7_old = jax.tree.leaves(state.image_params["backbone"]["Mixed_7b"])
+    m7_new = jax.tree.leaves(new_state.image_params["backbone"]["Mixed_7b"])
+    assert any(not np.allclose(a, b) for a, b in zip(m7_old, m7_new))
+    frozen_old = jax.tree.leaves(state.image_params["backbone"]["Mixed_5b"])
+    frozen_new = jax.tree.leaves(new_state.image_params["backbone"]["Mixed_5b"])
+    assert all(np.allclose(a, b) for a, b in zip(frozen_old, frozen_new))
