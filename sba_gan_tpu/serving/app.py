@@ -115,7 +115,12 @@ def _png_bytes(img: np.ndarray) -> bytes:
     from sba_gan_tpu.utils.image import to_uint8
 
     buf = io.BytesIO()
-    Image.fromarray(to_uint8(img)).save(buf, format="PNG")
+    # compress_level 1: zlib fastest mode.  Serving is latency-bound on a
+    # small image (256^2) — the default level 6 costs ~4x the encode time
+    # for ~20% smaller files.  SBA_PNG_LEVEL overrides for archival use.
+    Image.fromarray(to_uint8(img)).save(
+        buf, format="PNG",
+        compress_level=int(os.environ.get("SBA_PNG_LEVEL", "1")))
     return buf.getvalue()
 
 
@@ -143,11 +148,28 @@ class GanService:
         from sba_gan_tpu.data.vocab import encode_free_text
         from sba_gan_tpu.utils.viz import build_super_images
 
+        # Phase accounting (VERDICT r3 next-#5): one wall-clock bucket per
+        # pipeline stage, reported via telemetry and the (non-reference)
+        # 'phases' key of the service-level result — the reference payload
+        # shape (bird/birds dict, make_wsgi_app) is unchanged.
         t0 = time.time()
+        phases: Dict[str, float] = {}
+
+        def mark(name: str, since: float) -> float:
+            now = time.time()
+            phases[name] = round(phases.get(name, 0.0) + now - since, 4)
+            return now
+
+        t = t0
         ids, lens = encode_free_text([caption] * copies, self.wordtoix,
                                      self.words_num)
+        t = mark("tokenize", t)
         fakes, atts = self.sampler(ids.astype(np.int32),
                                    lens.astype(np.int32), seed)
+        t = mark("sample", t)
+        fakes = [np.asarray(s) for s in fakes]  # device fetch, fenced here
+        atts = [np.asarray(a) for a in atts]
+        t = mark("fetch", t)
         prefix = uuid.uuid4().hex[:12]
         names = ["small", "medium", "large"]
         urls: List[Dict] = []
@@ -155,27 +177,32 @@ class GanService:
             entry = {}
             for k, stage in enumerate(fakes):
                 label = names[k] if k < len(names) else f"stage{k}"
-                url = self.store.put(
-                    f"{prefix}/{j}_{label}.png", _png_bytes(np.asarray(stage[j]))
-                )
-                entry[label] = url
+                png = _png_bytes(stage[j])
+                t = mark("png", t)
+                entry[label] = self.store.put(f"{prefix}/{j}_{label}.png", png)
+                t = mark("blob", t)
             for a, att in enumerate(atts):
                 stage_idx = min(a + 1, len(fakes) - 1)
                 grid = build_super_images(
-                    np.asarray(fakes[stage_idx][j: j + 1]),
+                    fakes[stage_idx][j: j + 1],
                     ids[j: j + 1].astype(np.int64),
                     self.ixtoword,
-                    np.asarray(att[j: j + 1]),
+                    att[j: j + 1],
                 )
-                url = self.store.put(f"{prefix}/{j}_attn{a}.png",
-                                     _png_bytes(grid / 127.5 - 1.0))
-                entry[f"map{a + 1}"] = url
+                t = mark("attn_viz", t)
+                png = _png_bytes(grid / 127.5 - 1.0)
+                t = mark("png", t)
+                entry[f"map{a + 1}"] = self.store.put(
+                    f"{prefix}/{j}_attn{a}.png", png)
+                t = mark("blob", t)
             urls.append(entry)
         elapsed = round(time.time() - t0, 3)
         self.telemetry(
-            {"event": "generate", "copies": copies, "elapsed": elapsed}
+            {"event": "generate", "copies": copies, "elapsed": elapsed,
+             "phases": phases}
         )
-        return {"caption": caption, "results": urls, "elapsed": elapsed}
+        return {"caption": caption, "results": urls, "elapsed": elapsed,
+                "phases": phases}
 
 
 def make_wsgi_app(service: GanService):

@@ -63,8 +63,9 @@ def main():
 
     wordtoix = {f"w{i}": i for i in range(1, 40)}
     ixtoword = {i: w for w, i in wordtoix.items()}
+    events = []  # telemetry capture: per-request phase breakdown
     service = GanService(sampler, wordtoix, ixtoword, cfg.TEXT.WORDS_NUM,
-                         LocalDiskStore(args.tmp))
+                         LocalDiskStore(args.tmp), telemetry=events.append)
     app = make_wsgi_app(service)
 
     def request(caption):
@@ -94,12 +95,21 @@ def main():
         lats.append(dt)
     lats.sort()
     med = lats[len(lats) // 2]
+    # per-phase medians over the timed (post-compile) requests
+    phase_keys = sorted({k for e in events[1:] for k in e.get("phases", {})})
+    phases = {}
+    for k in phase_keys:
+        vals = sorted(e["phases"].get(k, 0.0) for e in events[1:]
+                      if "phases" in e)
+        if vals:
+            phases[k] = round(vals[len(vals) // 2], 4)
     print(json.dumps({
         "metric": f"serving_single_caption_latency_{platform}",
         "first_request_s": round(t_first, 3),
         "median_s": round(med, 3),
         "best_s": round(lats[0], 3),
         "n": args.n,
+        "phase_medians_s": phases,
         "note": "POST /api/v1.0/bird end-to-end at flagship dims, "
                 "random-init weights",
     }))
