@@ -24,7 +24,6 @@ any WSGI server.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import time
@@ -110,18 +109,14 @@ class LocalDiskStore(BlobStore):
 
 
 def _png_bytes(img: np.ndarray) -> bytes:
-    from PIL import Image
+    from sba_gan_tpu.utils.image import png_bytes, to_uint8
 
-    from sba_gan_tpu.utils.image import to_uint8
-
-    buf = io.BytesIO()
-    # compress_level 1: zlib fastest mode.  Serving is latency-bound on a
-    # small image (256^2) — the default level 6 costs ~4x the encode time
-    # for ~20% smaller files.  SBA_PNG_LEVEL overrides for archival use.
-    Image.fromarray(to_uint8(img)).save(
-        buf, format="PNG",
-        compress_level=int(os.environ.get("SBA_PNG_LEVEL", "1")))
-    return buf.getvalue()
+    # zlib level 1: serving is latency-bound and the default level 6 costs
+    # ~4x the encode time for ~20% smaller files.  SBA_PNG_LEVEL overrides
+    # for archival use.  png_bytes is the minimal filter-0 encoder (2-3x
+    # PIL at the same level — the dominant serving phase).
+    return png_bytes(to_uint8(img),
+                     level=int(os.environ.get("SBA_PNG_LEVEL", "1")))
 
 
 class GanService:

@@ -166,3 +166,21 @@ def test_make_grid_and_uint8():
     assert g.dtype == np.uint8
     assert to_uint8(np.array([[-1.0]]))[0, 0] == 0
     assert to_uint8(np.array([[1.0]]))[0, 0] == 255
+
+
+def test_png_bytes_roundtrip_and_fallback():
+    """Minimal PNG encoder (utils/image.png_bytes): PIL must read back the
+    exact pixels for RGB8, and non-RGB input must fall through to PIL."""
+    import io as _io
+
+    from PIL import Image as _Image
+
+    from sba_gan_tpu.utils.image import png_bytes
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 255, (37, 53, 3), dtype=np.uint8)
+    back = np.asarray(_Image.open(_io.BytesIO(png_bytes(a))))
+    np.testing.assert_array_equal(back, a)
+    gray = rng.integers(0, 255, (16, 16), dtype=np.uint8)  # PIL fallback
+    back = np.asarray(_Image.open(_io.BytesIO(png_bytes(gray))))
+    np.testing.assert_array_equal(back, gray)
