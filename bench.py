@@ -286,11 +286,16 @@ def run_bench(force_cpu: bool = False):
                 "REMAT_IMAGE_ENCODER": os.environ.get(
                     "SBA_BENCH_REMAT", "1" if platform == "tpu" else "0"
                 ) == "1",
-                # 'blocks' saves the tagged Mixed-block outputs and
-                # recomputes only the high-res Inception stem (the HBM
-                # hog); 'full' recomputes everything.
+                # 'stem' saves everything except the tagged high-res stem
+                # activations — minimum recompute; fits at b128 and is the
+                # measured-best mode (221.3 ms / 578 img/s ablation,
+                # 619.37 bench line vs 245.3/522 blocks anchor same-log,
+                # logs/r4_ablations.log 2026-08-20).  'blocks' saves only
+                # Mixed outputs (recomputes the whole encoder's FLOPs);
+                # 'full' recomputes everything.
                 "REMAT_IMAGE_ENCODER_MODE": os.environ.get(
-                    "SBA_BENCH_REMAT_ENC_MODE", "full"),
+                    "SBA_BENCH_REMAT_ENC_MODE",
+                    "stem" if platform == "tpu" else "full"),
                 # chunks=4 was required by the dense (B,B,T,R) grid's HBM
                 # footprint; the fused kernel frees it (chunks=1 measured
                 # faster behind it: 275 vs 298 ms at b128, r3 ablations).
