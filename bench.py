@@ -329,11 +329,13 @@ def run_bench(force_cpu: bool = False):
                 "REMAT_GENERATOR_MODE": os.environ.get("SBA_BENCH_REMATG",
                                                        "stages") or "stages",
                 # Compact BatchNorm (models/blocks.py _CompactBatchNorm):
-                # same math, no f32 promotion of G activations — a memory
-                # lever for the large-batch points.  Off until the on-chip
-                # A/B lands.
-                "BN_COMPACT": os.environ.get("SBA_BENCH_BNCOMPACT",
-                                             "0") == "1",
+                # same math, no f32 promotion of the activations.  Full
+                # scope ('1') measured +17.4 ms at the lean b128 point —
+                # memory lever only; 'large' scopes it to the >=128^2
+                # sites where the trace shows the flax f32 promotion
+                # costing ~10 ms (A/B pending).
+                "BN_COMPACT": {"0": False, "1": True, "large": "large"}.get(
+                    os.environ.get("SBA_BENCH_BNCOMPACT", "0"), False),
                 # Fused Pallas generator-side word attention
                 # (ops/word_attention.py; Mosaic parity PASS on-chip).
                 "USE_PALLAS": os.environ.get("SBA_BENCH_WATTN",

@@ -260,8 +260,12 @@ def default_config() -> ConfigDict:
                 # to f32.  The two largest HLO temps of the b256 step
                 # were 4.00G f32 buffers from exactly that promotion in
                 # the flax BN normalize path (logs/r3_ablations.log
-                # 2026-08-19 20:50).  Default off until the on-chip A/B
-                # lands (same gate discipline as DAMSM_SIM_IMPL above).
+                # 2026-08-19 20:50).  On-chip A/Bs: full scope (True) is
+                # time-NEUTRAL at the r3 anchor and +17.4 ms at the lean
+                # r4 b128 point — a memory lever only.  "large" scopes
+                # the compact form to >=128^2 activations, where the r4
+                # trace shows the flax f32 promotion costing ~10 ms at
+                # the 256^2 UpBlock BN alone.  False | True | "large".
                 "BN_COMPACT": False,
                 # K train steps per dispatch in the training loop
                 # (lax.scan fusion, make_gan_train_multistep) — amortizes
@@ -306,7 +310,11 @@ def merge_into(src: Dict[str, Any], dst: ConfigDict, _path: str = "") -> None:
             continue
         if isinstance(old, float) and isinstance(v, int) and not isinstance(v, bool):
             v = float(v)
-        if old is not None and v is not None and type(old) is not type(v):
+        if (old is not None and v is not None and type(old) is not type(v)
+                # tri-state flags: bool defaults that also accept a scope
+                # string (JAX.BN_COMPACT: False | True | "large")
+                and not (where == "JAX.BN_COMPACT"
+                         and isinstance(old, bool) and isinstance(v, str))):
             raise ValueError(
                 f"Type mismatch ({type(old)} vs. {type(v)}) for config key: {where}"
             )

@@ -233,11 +233,19 @@ class BatchNorm(nn.Module):
     and torch importers are unaffected."""
 
     dtype: Dtype = jnp.float32
-    compact: bool = False
+    compact: Any = False  # False | True | "large" (cfg.JAX.BN_COMPACT)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        if self.compact:
+        # "large": use the compact form ONLY where the activation is big
+        # (H >= 128).  The r4 full-scope A/B measured bnc +17.4 ms at the
+        # lean b128 point while the trace shows the flax f32 promotion
+        # costing ~10.7 ms at the single 256^2 UpBlock BN — i.e. the
+        # hand-VJP wins at large-spatial sites and loses at the many
+        # small ones; "large" takes only the winning side.
+        use_compact = self.compact is True or (
+            self.compact == "large" and x.ndim == 4 and x.shape[1] >= 128)
+        if use_compact:
             # name='BatchNorm_0' keeps the variable tree identical to the
             # flax path (our wrapper auto-names its inner module).
             return _CompactBatchNorm(dtype=self.dtype, name="BatchNorm_0")(
@@ -335,7 +343,7 @@ class UpBlock(nn.Module):
     dtype: Dtype = jnp.float32
     fused: bool = False
     fused_impl: str = "phase3x3"
-    bn_compact: bool = False
+    bn_compact: Any = False  # False | True | "large"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -355,7 +363,7 @@ class Block3x3Relu(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
-    bn_compact: bool = False
+    bn_compact: Any = False  # False | True | "large"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -370,7 +378,7 @@ class ResBlock(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
-    bn_compact: bool = False
+    bn_compact: Any = False  # False | True | "large"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -423,7 +431,7 @@ class MappingNet(nn.Module):
 
 
 def instance_norm_2d(x: jax.Array, eps: float = 1e-5,
-                     compact: bool = False) -> jax.Array:
+                     compact: Any = False) -> jax.Array:
     """Per-sample, per-channel normalization over H,W — torch
     InstanceNorm2d(affine=False) semantics, NHWC layout.
 
@@ -432,7 +440,9 @@ def instance_norm_2d(x: jax.Array, eps: float = 1e-5,
     scale/offset applied in the compute dtype with a hand-written VJP
     (ops/norms.py) — the (B,H,W,C) activation is never promoted to f32 in
     either pass."""
-    if not compact:
+    use_compact = compact is True or (
+        compact == "large" and x.ndim == 4 and x.shape[1] >= 128)
+    if not use_compact:
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
         var = jnp.var(x32, axis=(1, 2), keepdims=True)
@@ -446,7 +456,7 @@ class AdaINNorm(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
-    compact: bool = False  # cfg.JAX.BN_COMPACT (see instance_norm_2d)
+    compact: Any = False  # cfg.JAX.BN_COMPACT (see instance_norm_2d)
 
     @nn.compact
     def __call__(self, h, w_code):
@@ -469,7 +479,7 @@ class Block3x3LeakRelu(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
-    bn_compact: bool = False
+    bn_compact: Any = False  # False | True | "large"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -484,7 +494,7 @@ class DownBlock(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
-    bn_compact: bool = False
+    bn_compact: Any = False  # False | True | "large"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -508,7 +518,7 @@ class EncodeBy16(nn.Module):
 
     ndf: int
     dtype: Dtype = jnp.float32
-    bn_compact: bool = False
+    bn_compact: Any = False  # False | True | "large"
 
     @nn.compact
     def __call__(self, x, train: bool = True):

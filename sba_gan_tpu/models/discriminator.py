@@ -59,7 +59,7 @@ class DGetLogits(nn.Module):
     ndf: int
     bcondition: bool = False
     dtype: Dtype = jnp.float32
-    bn_compact: bool = False
+    bn_compact: Any = False  # False | True | "large"
 
     @nn.compact
     def __call__(self, h_code, c_code=None, train: bool = True):
@@ -93,7 +93,7 @@ class DNet64(nn.Module, _HeadsMixin):
     nef: int
     b_jcu: bool = True
     dtype: Dtype = jnp.float32
-    bn_compact: bool = False
+    bn_compact: Any = False  # False | True | "large"
 
     def setup(self):
         self.backbone = EncodeBy16(self.ndf, dtype=self.dtype,
@@ -119,7 +119,7 @@ class DNet128(nn.Module, _HeadsMixin):
     nef: int
     b_jcu: bool = True
     dtype: Dtype = jnp.float32
-    bn_compact: bool = False
+    bn_compact: Any = False  # False | True | "large"
 
     def setup(self):
         self.backbone = EncodeBy16(self.ndf, dtype=self.dtype,
@@ -151,7 +151,7 @@ class DNet256(nn.Module, _HeadsMixin):
     nef: int
     b_jcu: bool = True
     dtype: Dtype = jnp.float32
-    bn_compact: bool = False
+    bn_compact: Any = False  # False | True | "large"
 
     def setup(self):
         self.backbone = EncodeBy16(self.ndf, dtype=self.dtype,

@@ -49,7 +49,7 @@ class InitStageG(nn.Module):
     dtype: Dtype = jnp.float32
     up_fused: bool = False  # cfg.JAX.UPBLOCK_FUSED
     up_impl: str = "phase3x3"  # cfg.JAX.UPBLOCK_FUSED_IMPL
-    bn_compact: bool = False  # cfg.JAX.BN_COMPACT
+    bn_compact: Any = False  # cfg.JAX.BN_COMPACT (False | True | "large")
 
     @nn.compact
     def __call__(self, z_code, c_code, train: bool = True):
@@ -85,7 +85,7 @@ class NextStageG(nn.Module):
     dtype: Dtype = jnp.float32
     up_fused: bool = False
     up_impl: str = "phase3x3"
-    bn_compact: bool = False
+    bn_compact: Any = False  # False | True | "large"
 
     @nn.compact
     def __call__(self, h_code, c_code, w_code, word_embs, pad_mask, train=True):
@@ -139,7 +139,7 @@ class GNet(nn.Module):
     attn_impl: str = "auto"  # word-attention kernel selection (cfg.JAX.USE_PALLAS)
     up_fused: bool = False  # cfg.JAX.UPBLOCK_FUSED
     up_impl: str = "phase3x3"  # cfg.JAX.UPBLOCK_FUSED_IMPL
-    bn_compact: bool = False  # cfg.JAX.BN_COMPACT
+    bn_compact: Any = False  # cfg.JAX.BN_COMPACT (False | True | "large")
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -222,7 +222,7 @@ class GDCGAN(nn.Module):
     attn_impl: str = "auto"
     up_fused: bool = False
     up_impl: str = "phase3x3"
-    bn_compact: bool = False
+    bn_compact: Any = False  # False | True | "large"
     dtype: Dtype = jnp.float32
 
     @nn.compact

@@ -212,7 +212,8 @@ def make_gan_train_step(cfg, models: GANModels, mesh=None):
     if smooth_lambda > 0:
         upf = (f" upfused={cfg.JAX.UPBLOCK_FUSED_IMPL}"
                if cfg.JAX.UPBLOCK_FUSED else "")
-        bnc = " bn_compact" if cfg.JAX.BN_COMPACT else ""
+        bnc = (f" bn_compact={cfg.JAX.BN_COMPACT}"
+               if cfg.JAX.BN_COMPACT else "")
         enc = (f" remat_enc={cfg.JAX.REMAT_IMAGE_ENCODER_MODE}"
                if cfg.JAX.REMAT_IMAGE_ENCODER else " remat_enc=off")
         rg = (f" remat_g={cfg.JAX.REMAT_GENERATOR_MODE}"

@@ -71,7 +71,8 @@ def main():
                                    else "xla"),
                 "DAMSM_FOLD_SOFTMAX": "fold" in flags,
                 "UPBLOCK_FUSED": "upfused" in flags,
-                "BN_COMPACT": "bncompact" in flags,
+                "BN_COMPACT": ("large" if "bnclarge" in flags
+                               else "bncompact" in flags),
                 **kw,
             },
         }

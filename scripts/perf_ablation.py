@@ -139,7 +139,8 @@ if __name__ == "__main__":
                   sim_impl="pallas" if "simpallas" in flags else "xla",
                   fold_softmax="fold" in flags,
                   upblock_fused="upfused" in flags,
-                  bn_compact="bncompact" in flags,
+                  bn_compact=("large" if "bnclarge" in flags
+                              else "bncompact" in flags),
                   remat_enc_mode=("blocks" if "encblocks" in flags
                                   else "stem" if "encstem" in flags
                                   else "full"),

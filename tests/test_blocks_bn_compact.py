@@ -199,3 +199,30 @@ def test_generator_full_parity_under_flag():
                      jax.tree_util.tree_leaves(mut1)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+
+def test_large_scope_selects_by_spatial_size():
+    """compact='large' uses the compact path only at >=128^2 activations
+    (surgical scope from the r4 trace: the flax f32 promotion costs ~10 ms
+    at the 256^2 UpBlock BN while full-scope bnc loses 17 ms net at b128).
+    Values must match the f32 flax reference in BOTH regimes, and the
+    variable tree must be identical so the flag can flip freely."""
+    rng = np.random.default_rng(0)
+    for h in (64, 128):
+        x = jnp.asarray(rng.standard_normal((2, h, h, 4)).astype(np.float32))
+        ref_bn = BatchNorm(dtype=jnp.float32, compact=False)
+        lrg_bn = BatchNorm(dtype=jnp.float32, compact="large")
+        v_ref = ref_bn.init(jax.random.PRNGKey(0), x, True)
+        v_lrg = lrg_bn.init(jax.random.PRNGKey(0), x, True)
+        assert (jax.tree_util.tree_structure(v_ref)
+                == jax.tree_util.tree_structure(v_lrg))
+        y_ref, m_ref = ref_bn.apply(v_ref, x, True,
+                                    mutable=["batch_stats"])
+        y_lrg, m_lrg = lrg_bn.apply(v_lrg, x, True,
+                                    mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y_lrg), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-5, err_msg=f"h={h}")
+        for a, b in zip(jax.tree_util.tree_leaves(m_ref),
+                        jax.tree_util.tree_leaves(m_lrg)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-5, atol=2e-5)
