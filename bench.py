@@ -329,11 +329,11 @@ def run_bench(force_cpu: bool = False):
                 "REMAT_GENERATOR_MODE": os.environ.get("SBA_BENCH_REMATG",
                                                        "stages") or "stages",
                 # Compact BatchNorm (models/blocks.py _CompactBatchNorm):
-                # same math, no f32 promotion of the activations.  Full
-                # scope ('1') measured +17.4 ms at the lean b128 point —
-                # memory lever only; 'large' scopes it to the >=128^2
-                # sites where the trace shows the flax f32 promotion
-                # costing ~10 ms (A/B pending).
+                # same math, no f32 promotion of the activations.
+                # Definitively a MEMORY lever at b128: full scope ('1')
+                # +17.4 ms, 'large' scope (>=128^2 sites only) +3.9 ms
+                # vs plain flax BN, same-log A/Bs 2026-08-20 — stays off
+                # in the bench defaults.
                 "BN_COMPACT": {"0": False, "1": True, "large": "large"}.get(
                     os.environ.get("SBA_BENCH_BNCOMPACT", "0"), False),
                 # Fused Pallas generator-side word attention
