@@ -162,7 +162,17 @@ class GanService:
         fakes, atts = self.sampler(ids.astype(np.int32),
                                    lens.astype(np.int32), seed)
         t = mark("sample", t)
-        fakes = [np.asarray(s) for s in fakes]  # device fetch, fenced here
+        # device fetch, fenced here.  ONE batched device_get instead of
+        # per-array np.asarray: the tunnel pays a round trip per transfer
+        # (phase table: fetch 0.209 s for ~1 MB across 7 small arrays).
+        try:
+            import jax
+
+            fakes, atts = jax.device_get((list(fakes), list(atts)))
+        except ImportError:  # numpy-only sampler (unit tests)
+            fakes = [np.asarray(s) for s in fakes]
+            atts = [np.asarray(a) for a in atts]
+        fakes = [np.asarray(s) for s in fakes]
         atts = [np.asarray(a) for a in atts]
         t = mark("fetch", t)
         prefix = uuid.uuid4().hex[:12]
