@@ -127,7 +127,18 @@ def _on_term(signum, frame):  # pragma: no cover - signal path
     os._exit(0)
 
 
-def _tpu_attempt(probe_timeout: float, budget: float):
+_OOM_MARKERS = (
+    "RESOURCE_EXHAUSTED",
+    "ResourceExhausted",
+    "Ran out of memory in memory space hbm",
+    # remote_compile HTTP 500 from tpu_compile_helper usually WRAPS a
+    # compile-time HBM OOM on this runtime (CLAUDE.md)
+    "tpu_compile_helper subprocess exit code 1",
+)
+
+
+def _tpu_attempt(probe_timeout: float, budget: float,
+                 forced_batch: str | None = None):
     """One TPU measurement child with an in-band liveness probe.
 
     The child prints `BENCH_BACKEND_UP` right after a host-fetched matmul
@@ -138,12 +149,20 @@ def _tpu_attempt(probe_timeout: float, budget: float):
     but live init flows straight into the measurement with no second
     backend bring-up, and a hung init costs probe_timeout, not 900 s.
 
-    Returns (probed_up, json_line_or_None)."""
+    ``forced_batch`` overrides SBA_BENCH_BATCH in the child env — the
+    parent's OOM fallback re-attempts a tuned large-batch config at the
+    known-safe batch in a FRESH process (one config per process,
+    CLAUDE.md).
+
+    Returns (probed_up, json_line_or_None, oomed)."""
     global _CHILD
+    env = dict(os.environ)
+    if forced_batch is not None:
+        env["SBA_BENCH_BATCH"] = forced_batch
     with tempfile.TemporaryFile() as out, tempfile.TemporaryFile() as err:
         _CHILD = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--run", "tpu"],
-            stdout=out, stderr=err,
+            stdout=out, stderr=err, env=env,
         )
         t0 = time.time()
         probed = False
@@ -161,7 +180,7 @@ def _tpu_attempt(probe_timeout: float, budget: float):
                 _CHILD = None
                 print(f"bench: backend gave no liveness signal in "
                       f"{probe_timeout:.0f}s; killed child", file=sys.stderr)
-                return False, None
+                return False, None, False
             time.sleep(2)
         else:  # budget exhausted with child alive
             _CHILD.kill()
@@ -169,17 +188,20 @@ def _tpu_attempt(probe_timeout: float, budget: float):
             _CHILD = None
             print(f"bench: TPU attempt exceeded {budget:.0f}s budget",
                   file=sys.stderr)
-            return True, None
+            return True, None, False
         err.seek(0)
-        sys.stderr.write(err.read().decode(errors="replace")[-2000:])
+        err_text = err.read().decode(errors="replace")
+        sys.stderr.write(err_text[-2000:])
         rc = _CHILD.returncode
         _CHILD = None
         line = _last_json_line(text)
         if rc == 0 and line:
-            return True, line
+            return True, line, False
+        oomed = any(m in err_text or m in text for m in _OOM_MARKERS)
         print(f"bench: TPU child failed rc={rc} after "
-              f"{time.time() - t0:.0f}s", file=sys.stderr)
-        return probed, None
+              f"{time.time() - t0:.0f}s" + (" (HBM OOM)" if oomed else ""),
+              file=sys.stderr)
+        return probed, None, oomed
 
 
 def main():
@@ -204,11 +226,30 @@ def main():
     attempts = int(os.environ.get("SBA_BENCH_PROBE_ATTEMPTS", "2"))
     budget = float(os.environ.get("SBA_BENCH_TPU_BUDGET", "2400"))
     if os.environ.get("JAX_PLATFORMS", "") != "cpu":
-        for i in range(attempts):
-            probed, line = _tpu_attempt(probe_timeout, budget)
+        forced_batch = None
+        # One extra attempt is reserved for the OOM->safe-batch fallback:
+        # a tuned large-batch operating point must never cost the driver
+        # its bench line (VERDICT r4 weak-#2 — bench.py previously had no
+        # OOM fallback, so flipping the tuned batch up was unsafe).
+        oom_retry_left = 1
+        i = 0
+        while i < attempts:
+            probed, line, oomed = _tpu_attempt(probe_timeout, budget,
+                                               forced_batch)
             if line:
                 print(line, flush=True)
                 return
+            if oomed and oom_retry_left and forced_batch is None \
+                    and os.environ.get("SBA_BENCH_BATCH", "128") != "128":
+                # Fresh child at the known-safe batch; the tuned config's
+                # OOM does not consume a regular attempt.
+                oom_retry_left -= 1
+                forced_batch = "128"
+                print("bench: HBM OOM at tuned batch "
+                      f"{os.environ.get('SBA_BENCH_BATCH')}; retrying a "
+                      "fresh child at batch 128", file=sys.stderr)
+                continue
+            i += 1
             if probed:
                 # Backend was up and the measurement still died (mid-run
                 # transient or compile-scale hang): one more child only if
@@ -232,6 +273,15 @@ def _last_json_line(text: str) -> str | None:
 
 
 def run_bench(force_cpu: bool = False):
+    if not force_cpu and os.environ.get("SBA_BENCH_FAKE_OOM") \
+            and os.environ.get("SBA_BENCH_BATCH", "128") != "128":
+        # Test-only: simulate an HBM OOM at a tuned (non-128) batch so the
+        # parent's OOM->safe-batch fallback can be exercised end to end
+        # without hardware (checked before FAKE_HANG so the two hooks
+        # compose: child 1 OOMs, the forced b128 child takes HANG or runs).
+        print("BENCH_BACKEND_UP fake", flush=True)
+        raise RuntimeError(
+            "RESOURCE_EXHAUSTED: simulated HBM OOM (test hook)")
     if not force_cpu and os.environ.get("SBA_BENCH_FAKE_HANG"):
         # Test-only: simulate the dead-tunnel failure mode (backend init
         # hangs, no error) so the parent's probe/fallback path can be
@@ -344,6 +394,11 @@ def run_bench(force_cpu: bool = False):
                 # on-chip A/B by 50 ms at b128)
                 "UPBLOCK_FUSED_IMPL": os.environ.get("SBA_BENCH_UPIMPL",
                                                      "convt"),
+                # Zero-padded RGB heads (exact identity; attacks the
+                # Cout=3 lane-padding tax the r4 trace named: bwd 5.3 ms
+                # vs fwd 1.8 ms per head x 3 heads).  0 = plain conv.
+                "RGB_HEAD_PAD": int(os.environ.get("SBA_BENCH_RGBPAD",
+                                                   "0")),
                 # bf16 inputs for the (B,B,T,R) words-loss einsums (f32
                 # softmax/accum); halves the grid footprint, grad cosine
                 # vs f32 = 0.99998 on-chip

@@ -267,6 +267,14 @@ def default_config() -> ConfigDict:
                 # trace shows the flax f32 promotion costing ~10 ms at
                 # the 256^2 UpBlock BN alone.  False | True | "large".
                 "BN_COMPACT": False,
+                # Zero-pad the RGB-head conv (GetImageG) to N output
+                # channels and slice back to 3 — exact identity, same
+                # parameter tree (models/blocks.py _LanePaddedConv3x3).
+                # The r4 trace attributed each head's backward running
+                # ~3x its forward to Cout=3 MXU lane padding.  0 = off;
+                # typical values 8/32 (measurement decides — same flip
+                # discipline as the other levers).
+                "RGB_HEAD_PAD": 0,
                 # K train steps per dispatch in the training loop
                 # (lax.scan fusion, make_gan_train_multistep) — amortizes
                 # per-dispatch overhead on low-latency runtimes.  The
@@ -317,6 +325,13 @@ def merge_into(src: Dict[str, Any], dst: ConfigDict, _path: str = "") -> None:
                          and isinstance(old, bool) and isinstance(v, str))):
             raise ValueError(
                 f"Type mismatch ({type(old)} vs. {type(v)}) for config key: {where}"
+            )
+        if where == "JAX.BN_COMPACT" and isinstance(v, str) and v != "large":
+            # A typo ('Large', 'lrg') would silently select the plain flax
+            # BN path while logging bn_compact=<str> as if active — reject
+            # unknown scope strings outright (advisor r4).
+            raise ValueError(
+                f"JAX.BN_COMPACT must be a bool or the string 'large'; got {v!r}"
             )
         dst[k] = v
 

@@ -67,7 +67,16 @@ class DataLoader:
         num_workers: int = 2,
         sharding: Optional[jax.sharding.Sharding] = None,
         prefetch: int = 2,
+        host_shard: Optional[tuple] = None,
     ):
+        """``host_shard=(process_index, process_count)`` makes this loader
+        yield only its process's contiguous slice of every global batch
+        (multi-host data parallelism under ``parallel.init_distributed``):
+        the permutation RNG is seed-deterministic and identical on every
+        process, so the per-host slices are DISJOINT and their union COVERS
+        each global batch exactly — no host ever decodes another host's
+        samples (the reference has no multi-host input path at all;
+        SURVEY.md §2.4).  ``batch_size`` stays the GLOBAL batch size."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -75,6 +84,15 @@ class DataLoader:
         self.num_workers = max(0, num_workers)
         self.sharding = sharding
         self.prefetch = prefetch
+        if host_shard is not None:
+            idx, cnt = host_shard
+            if not (0 <= idx < cnt):
+                raise ValueError(f"host_shard index {idx} not in [0, {cnt})")
+            if batch_size % cnt != 0:
+                raise ValueError(
+                    f"global batch {batch_size} not divisible by "
+                    f"process count {cnt}")
+        self.host_shard = host_shard
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
@@ -90,17 +108,31 @@ class DataLoader:
             self._rng.shuffle(order)
         nb = len(self)
         for i in range(nb):
-            yield order[i * self.batch_size : (i + 1) * self.batch_size]
+            idxs = order[i * self.batch_size : (i + 1) * self.batch_size]
+            if self.host_shard is not None:
+                pi, pc = self.host_shard
+                per = self.batch_size // pc
+                idxs = idxs[pi * per : (pi + 1) * per]
+            yield idxs
 
     def _to_device(self, batch: Batch) -> Batch:
         if self.sharding is None:
             return batch
-        imgs = tuple(jax.device_put(x, self.sharding) for x in batch.imgs)
+        if self.host_shard is not None and self.host_shard[1] > 1:
+            # multi-host: each process holds only its local slice; assemble
+            # the GLOBAL jax.Array from per-process shards (the data-
+            # parallel dual of jax.device_put below).
+            def put(x):
+                return jax.make_array_from_process_local_data(
+                    self.sharding, np.asarray(x))
+        else:
+            def put(x):
+                return jax.device_put(x, self.sharding)
         return Batch(
-            imgs,
-            jax.device_put(batch.captions, self.sharding),
-            jax.device_put(batch.cap_lens, self.sharding),
-            jax.device_put(batch.class_ids, self.sharding),
+            tuple(put(x) for x in batch.imgs),
+            put(batch.captions),
+            put(batch.cap_lens),
+            put(batch.class_ids),
             batch.keys,
         )
 

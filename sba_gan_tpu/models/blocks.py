@@ -165,23 +165,67 @@ class _FoldedUpConv3x3(nn.Module):
         return y.reshape(b, 2 * h, 2 * w, co)
 
 
+class _LanePaddedConv3x3(nn.Module):
+    """3x3 'same' conv computed with the kernel zero-padded to ``pad_to``
+    output channels, sliced back to ``features`` — exact same math and the
+    same parameter tree as the plain conv (param 'kernel', (3,3,Cin,Cout),
+    f32, same init stream).
+
+    Motivation: a Cout=3 RGB head leaves the MXU lane dimension 3/128
+    occupied, and the r4 trace showed each GetImageG backward running ~3x
+    its forward (5.3 ms vs 1.8 ms at 256^2, 'Cout=3 lane padding') — the
+    zero-pad lets XLA tile the head and its wgrad/dgrad at a packing-
+    friendly channel count while the parameters (and therefore checkpoints
+    and the torch importers) stay (3,3,Cin,3)."""
+
+    features: int
+    pad_to: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", ortho_init, (3, 3, cin, self.features), jnp.float32
+        )
+        kk = jnp.pad(
+            kernel, ((0, 0), (0, 0), (0, 0), (0, self.pad_to - self.features))
+        ).astype(self.dtype)
+        o = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kk, window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return o[..., : self.features]
+
+
 class Conv3x3(nn.Module):
     """3x3 stride-1 'same' conv, no bias (reference conv3x3, model.py:32-35).
 
     ``up2x=True`` computes ``conv3x3(nearest_up2(x))`` via the folded
     low-resolution form (:class:`_FoldedUpConv3x3`) — same parameters,
-    same math, 2.25x fewer FLOPs and no high-res intermediate."""
+    same math, 2.25x fewer FLOPs and no high-res intermediate.
+
+    ``out_pad=N`` (N > features) computes the conv at N zero-padded output
+    channels and slices back (:class:`_LanePaddedConv3x3`) — an exact
+    identity for narrow heads (cfg.JAX.RGB_HEAD_PAD)."""
 
     features: int
     dtype: Dtype = jnp.float32
     up2x: bool = False
     up2x_impl: str = "phase3x3"  # cfg.JAX.UPBLOCK_FUSED_IMPL
+    out_pad: int = 0  # cfg.JAX.RGB_HEAD_PAD
 
     @nn.compact
     def __call__(self, x):
         if self.up2x:
             return _FoldedUpConv3x3(
                 self.features, dtype=self.dtype, impl=self.up2x_impl,
+                name="Conv_0"
+            )(x)
+        if self.out_pad > self.features:
+            return _LanePaddedConv3x3(
+                self.features, pad_to=self.out_pad, dtype=self.dtype,
                 name="Conv_0"
             )(x)
         return nn.Conv(

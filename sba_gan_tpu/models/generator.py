@@ -106,13 +106,21 @@ class NextStageG(nn.Module):
 
 
 class GetImageG(nn.Module):
-    """To-RGB head: conv3x3 -> tanh (reference GET_IMAGE_G, model.py:426-437)."""
+    """To-RGB head: conv3x3 -> tanh (reference GET_IMAGE_G, model.py:426-437).
+
+    ``pad_lanes`` (cfg.JAX.RGB_HEAD_PAD): compute the conv at N zero-padded
+    output channels and slice back to 3 — exact math, identical parameter
+    tree (models/blocks.py _LanePaddedConv3x3).  Cout=3 leaves the MXU lane
+    dimension 3/128 occupied; the r4 trace showed each head's backward at
+    ~3x its forward (5.3 ms vs 1.8 ms at 256^2) from exactly that."""
 
     dtype: Dtype = jnp.float32
+    pad_lanes: int = 0
 
     @nn.compact
     def __call__(self, h):
-        return jnp.tanh(Conv3x3(3, dtype=self.dtype)(h).astype(jnp.float32))
+        conv = Conv3x3(3, dtype=self.dtype, out_pad=self.pad_lanes)
+        return jnp.tanh(conv(h).astype(jnp.float32))
 
 
 class GNet(nn.Module):
@@ -140,6 +148,7 @@ class GNet(nn.Module):
     up_fused: bool = False  # cfg.JAX.UPBLOCK_FUSED
     up_impl: str = "phase3x3"  # cfg.JAX.UPBLOCK_FUSED_IMPL
     bn_compact: Any = False  # cfg.JAX.BN_COMPACT (False | True | "large")
+    rgb_pad: int = 0  # cfg.JAX.RGB_HEAD_PAD
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -183,7 +192,7 @@ class GNet(nn.Module):
                 z0, c_code, train
             )
             h1 = checkpoint_name(h1, "g_stage")
-            fake_imgs.append(GetImageG(dtype=self.dtype)(h1))
+            fake_imgs.append(GetImageG(dtype=self.dtype, pad_lanes=self.rgb_pad)(h1))
         if self.branch_num > 1:
             h2, att1 = NextStageG(
                 ngf, num_residual=self.num_residual,
@@ -192,7 +201,7 @@ class GNet(nn.Module):
                 bn_compact=self.bn_compact,
             )(h1, c_code, w_code2, word_embs, pad_mask, train)
             h2 = checkpoint_name(h2, "g_stage")
-            fake_imgs.append(GetImageG(dtype=self.dtype)(h2))
+            fake_imgs.append(GetImageG(dtype=self.dtype, pad_lanes=self.rgb_pad)(h2))
             att_maps.append(att1)
         if self.branch_num > 2:
             h3, att2 = NextStageG(
@@ -202,7 +211,7 @@ class GNet(nn.Module):
                 bn_compact=self.bn_compact,
             )(h2, c_code, w_code3, word_embs, pad_mask, train)
             h3 = checkpoint_name(h3, "g_stage")
-            fake_imgs.append(GetImageG(dtype=self.dtype)(h3))
+            fake_imgs.append(GetImageG(dtype=self.dtype, pad_lanes=self.rgb_pad)(h3))
             att_maps.append(att2)
 
         return fake_imgs, att_maps, mu, logvar
@@ -223,6 +232,7 @@ class GDCGAN(nn.Module):
     up_fused: bool = False
     up_impl: str = "phase3x3"
     bn_compact: Any = False  # False | True | "large"
+    rgb_pad: int = 0  # cfg.JAX.RGB_HEAD_PAD
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -260,7 +270,7 @@ class GDCGAN(nn.Module):
                 bn_compact=self.bn_compact,
             )(h, c_code, w_code, word_embs, pad_mask, train)
             att_maps.append(att2)
-        fake_img = GetImageG(dtype=self.dtype)(h)
+        fake_img = GetImageG(dtype=self.dtype, pad_lanes=self.rgb_pad)(h)
         return [fake_img], att_maps, mu, logvar
 
 
@@ -279,6 +289,7 @@ def build_generator(cfg) -> nn.Module:
         up_fused=cfg.JAX.UPBLOCK_FUSED,
         up_impl=cfg.JAX.UPBLOCK_FUSED_IMPL,
         bn_compact=cfg.JAX.BN_COMPACT,
+        rgb_pad=cfg.JAX.RGB_HEAD_PAD,
         dtype=jnp.dtype(cfg.JAX.DTYPE),
     )
     if cfg.GAN.B_DCGAN:

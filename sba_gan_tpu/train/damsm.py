@@ -150,6 +150,10 @@ class DAMSMTrainer:
         text_tx, image_tx = self._text_tx, self._image_tx
         unfreeze_mixed7 = self.unfreeze_mixed7
 
+        enc_chunks = cfg.JAX.DAMSM_CHUNKS
+        remat_enc = cfg.JAX.REMAT_IMAGE_ENCODER
+        remat_enc_mode = cfg.JAX.REMAT_IMAGE_ENCODER_MODE
+
         def losses_fn(text_params, image_params, batch_stats, img, captions,
                       cap_lens, class_ids, rng):
             b = captions.shape[0]
@@ -169,9 +173,48 @@ class DAMSMTrainer:
                     lambda p, m: p if m else jax.lax.stop_gradient(p),
                     image_params, mask,
                 )
-                region, code, mut = _apply_image(
-                    image_encoder, image_params, batch_stats, img, True
+                enc = lambda bs, im: _apply_image(
+                    image_encoder, image_params, bs, im, True
                 )
+                if remat_enc:
+                    # Same remat modes as the GAN step (train/gan.py):
+                    # numerics-identical; trades recompute for residual HBM
+                    # (with the trunk frozen the recompute is mostly DCE'd,
+                    # so this is nearly free insurance at large batches).
+                    if remat_enc_mode == "blocks":
+                        policy = jax.checkpoint_policies.save_only_these_names(
+                            "enc_block")
+                        enc = jax.checkpoint(enc, policy=policy)
+                    elif remat_enc_mode == "stem":
+                        policy = (jax.checkpoint_policies
+                                  .save_anything_except_these_names("enc_stem"))
+                        enc = jax.checkpoint(enc, policy=policy)
+                    else:
+                        enc = jax.checkpoint(enc)
+                if enc_chunks > 1:
+                    # Large-batch lever (VERDICT r4 #6: b512 regressed 3.2x
+                    # for 2x batch — the 299^2..71^2 train-mode encoder
+                    # activations thrash HBM).  lax.scan over sequential
+                    # sub-batches divides the forward peak by the chunk
+                    # count and threads the BN running stats through in
+                    # order.  Deliberate deviation: train-mode batch-norm
+                    # STATISTICS are computed per sub-batch (equivalent to
+                    # running N sequential smaller batches), not over the
+                    # full batch — document, don't hide; default stays 1.
+                    assert b % enc_chunks == 0, (b, enc_chunks)
+                    im_c = img.reshape(enc_chunks, b // enc_chunks,
+                                       *img.shape[1:])
+
+                    def body(bs, im, _enc=enc):
+                        r, c, bs2 = _enc(bs, im)
+                        return bs2, (r, c)
+
+                    mut, (region_c, code_c) = jax.lax.scan(body, batch_stats,
+                                                           im_c)
+                    region = region_c.reshape(b, *region_c.shape[2:])
+                    code = code_c.reshape(b, code_c.shape[-1])
+                else:
+                    region, code, mut = enc(batch_stats, img)
             else:
                 region, code = image_encoder.apply(
                     {"params": image_params, "batch_stats": batch_stats},

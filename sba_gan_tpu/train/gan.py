@@ -218,10 +218,12 @@ def make_gan_train_step(cfg, models: GANModels, mesh=None):
                if cfg.JAX.REMAT_IMAGE_ENCODER else " remat_enc=off")
         rg = (f" remat_g={cfg.JAX.REMAT_GENERATOR_MODE}"
               if cfg.JAX.REMAT_GENERATOR else "")
+        rgb = (f" rgb_pad={cfg.JAX.RGB_HEAD_PAD}"
+               if cfg.JAX.RGB_HEAD_PAD else "")
         print(f"[sba_gan_tpu] GAN step build: DAMSM_SIM_IMPL={sim_impl} "
               f"tile={sim_tile} chunks={damsm_chunks} "
               f"grid_chunks={grid_chunks} loss_dtype={cfg.JAX.LOSS_DTYPE}"
-              f"{upf}{bnc}{enc}{rg}",
+              f"{upf}{bnc}{enc}{rg}{rgb}",
               flush=True)
     g_tx, d_tx = gan_optimizers(cfg)
     generator = models.generator

@@ -69,9 +69,18 @@ def _blur_operator(n: int, sigma: float) -> np.ndarray:
     for i in range(n):
         conv[i, i: i + 2 * radius + 1] = k
     # reflect-pad matrix: padded index -> source index (np.pad 'reflect')
-    idx = np.concatenate([
-        np.arange(radius, 0, -1), np.arange(n), np.arange(n - 2, n - 2 - radius, -1),
-    ])
+    if radius >= n:
+        # Multi-reflection regime (maps smaller than ~3*sigma px): the
+        # single-bounce index formula below would deviate from np.pad
+        # 'reflect' by up to ~0.08 (advisor r4) — fold the EXACT np.pad
+        # reflect indices instead (cheap: n is tiny here).
+        src = np.arange(n)
+        idx = np.pad(src, radius, mode="reflect")
+    else:
+        idx = np.concatenate([
+            np.arange(radius, 0, -1), np.arange(n),
+            np.arange(n - 2, n - 2 - radius, -1),
+        ])
     pad = np.zeros((m, n), np.float32)
     pad[np.arange(m), np.clip(idx, 0, n - 1)] = 1.0
     return conv @ pad

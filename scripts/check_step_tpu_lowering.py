@@ -46,6 +46,8 @@ def main():
             kw["DAMSM_SIM_TILE"] = int(f.split("=")[1])
         if f.startswith("upimpl="):
             kw["UPBLOCK_FUSED_IMPL"] = f.split("=")[1]
+        if f.startswith("rgbpad="):
+            kw["RGB_HEAD_PAD"] = int(f.split("=")[1])
     cfg = cfg_from_dict(
         {
             "TREE": {"BRANCH_NUM": 3},

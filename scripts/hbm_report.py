@@ -51,23 +51,42 @@ def gb(n: int) -> str:
 def main() -> None:
     name, b = sys.argv[1], int(sys.argv[2])
     flags = set(sys.argv[3:])
+    # Flag-word map kept in lockstep with perf_ablation.py's `one` CLI and
+    # check_step_tpu_lowering.py (advisor r4: an hbm report that silently
+    # ignores a flag word measures the WRONG config without warning).
+    known_words = {"remat", "encblocks", "encstem", "rematg", "simpallas",
+                   "bncompact", "bnclarge", "upfused", "pallas", "lossf32",
+                   "fold"}
     kw_jax = {
         "DTYPE": "bfloat16",
         "REMAT_IMAGE_ENCODER": "remat" in flags,
-        "REMAT_IMAGE_ENCODER_MODE": "blocks" if "encblocks" in flags else "full",
+        "REMAT_IMAGE_ENCODER_MODE": ("blocks" if "encblocks" in flags
+                                     else "stem" if "encstem" in flags
+                                     else "full"),
         "DAMSM_CHUNKS": 1,
         "REMAT_GENERATOR": "rematg" in flags,
         "REMAT_GENERATOR_MODE": "stages",
-        "LOSS_DTYPE": "bfloat16",
+        "LOSS_DTYPE": "float32" if "lossf32" in flags else "bfloat16",
         "DAMSM_SIM_IMPL": "pallas" if "simpallas" in flags else "xla",
+        "USE_PALLAS": "pallas" in flags,
+        "DAMSM_FOLD_SOFTMAX": "fold" in flags,
         "UPBLOCK_FUSED": "upfused" in flags,
-        "BN_COMPACT": "bncompact" in flags,
+        "BN_COMPACT": ("large" if "bnclarge" in flags
+                       else "bncompact" in flags),
     }
     for f in flags:
         if f.startswith("chunks="):
             kw_jax["DAMSM_CHUNKS"] = int(f.split("=")[1])
-        if f.startswith("upimpl="):
+        elif f.startswith("upimpl="):
             kw_jax["UPBLOCK_FUSED_IMPL"] = f.split("=")[1]
+        elif f.startswith("rgbpad="):
+            kw_jax["RGB_HEAD_PAD"] = int(f.split("=")[1])
+        elif f.startswith("tile="):
+            kw_jax["DAMSM_SIM_TILE"] = int(f.split("=")[1])
+        elif f.startswith("grid="):
+            kw_jax["DAMSM_GRID_CHUNKS"] = int(f.split("=")[1])
+        elif f not in known_words:
+            raise SystemExit(f"hbm_report: unknown flag word {f!r}")
     cfg = cfg_from_dict(
         {
             "TREE": {"BRANCH_NUM": 3},

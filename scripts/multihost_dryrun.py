@@ -99,6 +99,38 @@ def worker(rank: int) -> None:
                                atol=1e-6)
     print(f"rank {rank}: global sgd step OK (loss {float(l):.3f})", flush=True)
 
+    # per-host input sharding (VERDICT r4 next-#8): each process's
+    # DataLoader yields only its slice of every global batch, and
+    # make_array_from_process_local_data assembles the global batch.
+    # Coverage is asserted GLOBALLY: summing the per-sample index marks
+    # over the sharded batch dim is a cross-process reduction — it equals
+    # the full-batch sum iff the two hosts' slices are disjoint AND cover.
+    from sba_gan_tpu.data.pipeline import DataLoader
+
+    class _Toy:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            img = np.full((2, 2, 3), i, np.float32)
+            return ([img], np.full((4,), i, np.int32), 2, i % 3, f"k{i}")
+
+    loader = DataLoader(_Toy(), 8, seed=11, num_workers=0, sharding=bsh,
+                        host_shard=(rank, N_PROC))
+    full = DataLoader(_Toy(), 8, seed=11, num_workers=0)
+    batches = list(loader)
+    full_batches = list(full)
+    assert len(batches) == len(full_batches) == 2, len(batches)
+    for b, fb in zip(batches, full_batches):
+        assert b.captions.shape[0] == 8  # GLOBAL batch as a jax.Array
+        assert len(b.keys) == 4  # local slice only on this host
+        # the global sum counts every sample of the global batch exactly
+        # once iff the hosts' slices are disjoint AND cover it
+        got = float(jax.jit(lambda c: jnp.sum(c[:, 0]))(b.captions))
+        expect = float(sum(int(k[1:]) for k in fb.keys))
+        assert got == expect, (got, expect)
+    print(f"rank {rank}: sharded input pipeline OK", flush=True)
+
 
 def main() -> None:
     if len(sys.argv) > 1:

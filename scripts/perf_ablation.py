@@ -63,7 +63,7 @@ def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
         sim_impl="xla", sim_tile=16, fold_softmax=False,
         remat_g_mode="stages", upblock_fused=False,
         upblock_fused_impl="phase3x3", bn_compact=False,
-        remat_enc_mode="full"):
+        remat_enc_mode="full", rgb_pad=0):
     cfg = cfg_from_dict(
         {
             "TREE": {"BRANCH_NUM": 3},
@@ -85,7 +85,8 @@ def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
                     "DAMSM_FOLD_SOFTMAX": fold_softmax,
                     "UPBLOCK_FUSED": upblock_fused,
                     "UPBLOCK_FUSED_IMPL": upblock_fused_impl,
-                    "BN_COMPACT": bn_compact},
+                    "BN_COMPACT": bn_compact,
+                    "RGB_HEAD_PAD": rgb_pad},
         }
     )
     models = build_models(cfg, 5450)
@@ -154,4 +155,6 @@ if __name__ == "__main__":
                 kw["sim_tile"] = int(f.split("=")[1])
             if f.startswith("upimpl="):
                 kw["upblock_fused_impl"] = f.split("=")[1]
+            if f.startswith("rgbpad="):
+                kw["rgb_pad"] = int(f.split("=")[1])
         run(name, b, 5.0, **kw)

@@ -247,7 +247,16 @@ def main():
                                                      "299"))},
                 "JAX": {"DTYPE": env("STEP_DTYPE", cfg.JAX.DTYPE),
                         "LOSS_DTYPE": env("STEP_DTYPE", cfg.JAX.LOSS_DTYPE),
-                        "DAMSM_SIM_IMPL": cfg.JAX.DAMSM_SIM_IMPL},
+                        "DAMSM_SIM_IMPL": cfg.JAX.DAMSM_SIM_IMPL,
+                        # large-batch levers (train/damsm.py; VERDICT r4
+                        # #6): sequential encoder sub-batches + encoder
+                        # remat modes
+                        "DAMSM_CHUNKS": int(env("STEP_PRETRAIN_CHUNKS",
+                                                "1")),
+                        "REMAT_IMAGE_ENCODER":
+                            env("STEP_PRETRAIN_REMAT", "") != "",
+                        "REMAT_IMAGE_ENCODER_MODE":
+                            env("STEP_PRETRAIN_REMAT", "stem") or "stem"},
             }
         )
         dmodels = build_damsm_models(pcfg, 5450)

@@ -30,6 +30,10 @@ def main():
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     p.add_argument("-n", type=int, default=5, help="timed requests")
     p.add_argument("--tmp", default="/tmp/serving_latency_store")
+    p.add_argument("--map_format", default="png", choices=["png", "jpeg"],
+                   help="attention-overlay payload format option")
+    p.add_argument("--map_scale", type=float, default=1.0,
+                   help="attention-overlay downscale option (0, 1]")
     args = p.parse_args()
 
     import jax
@@ -69,7 +73,9 @@ def main():
     app = make_wsgi_app(service)
 
     def request(caption):
-        data = json.dumps({"caption": caption}).encode()
+        data = json.dumps({"caption": caption,
+                           "map_format": args.map_format,
+                           "map_scale": args.map_scale}).encode()
         captured = {}
 
         def start_response(status, headers):
@@ -110,6 +116,8 @@ def main():
         "best_s": round(lats[0], 3),
         "n": args.n,
         "phase_medians_s": phases,
+        "map_format": args.map_format,
+        "map_scale": args.map_scale,
         "note": "POST /api/v1.0/bird end-to-end at flagship dims, "
                 "random-init weights",
     }))

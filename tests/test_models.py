@@ -164,3 +164,34 @@ def test_dcgan_discriminator_no_uncond(rng):
     ds = build_discriminators(cfg)
     assert len(ds) == 1
     assert ds[0].b_jcu is False
+
+
+def test_rgb_head_pad_exact_identity(rng):
+    """JAX.RGB_HEAD_PAD computes the to-RGB convs at N zero-padded output
+    channels and slices back (models/blocks.py _LanePaddedConv3x3): the
+    parameter tree, outputs, AND gradients must be identical to the plain
+    conv (exact math — it is purely an MXU lane-packing lever)."""
+    cfg0 = tiny_cfg()
+    cfg8 = tiny_cfg(**{"JAX.RGB_HEAD_PAD": 8})
+    g0, g8 = build_generator(cfg0), build_generator(cfg8)
+    z, sent, words, mask = _gen_inputs(cfg0, rng)
+    key = jax.random.PRNGKey(0)
+    v0 = g0.init(key, z, sent, words, mask, key, True)
+    v8 = g8.init(key, z, sent, words, mask, key, True)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                 v0["params"], v8["params"])
+
+    def loss(gen, params, bs):
+        (fakes, _, _, _), _ = gen.apply(
+            {"params": params, "batch_stats": bs}, z, sent, words, mask,
+            key, True, mutable=["batch_stats"])
+        return sum(jnp.sum(f ** 2) for f in fakes)
+
+    l0, grads0 = jax.value_and_grad(
+        lambda p: loss(g0, p, v0["batch_stats"]))(v0["params"])
+    l8, grads8 = jax.value_and_grad(
+        lambda p: loss(g8, p, v8["batch_stats"]))(v8["params"])
+    assert np.allclose(float(l0), float(l8), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        grads0, grads8)

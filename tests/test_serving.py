@@ -135,3 +135,32 @@ def test_request_telemetry_middleware(client, tmp_path):
     emit({"event": "container start", "starttime": 1.5})
     line = json.loads(sink.read_text().strip())
     assert line["telemetry"]["event"] == "container start"
+
+
+def test_jpeg_and_scaled_attention_maps(client):
+    """Payload-shrink options (VERDICT r4 weak-#6): map_format='jpeg' +
+    map_scale<1 produce JPEG overlays at reduced size; stage images stay
+    PNG (reference parity)."""
+    status, _, body = client(
+        "POST", "/api/v1.0/bird",
+        {"caption": "w1 w2 w3", "map_format": "jpeg", "map_scale": 0.5})
+    assert status == "201 Created"
+    bird = json.loads(body)["bird"]
+    assert bird["map1"].endswith(".jpg")
+    status, headers, img = client("GET", bird["map1"])
+    assert status == "200 OK"
+    assert headers["Content-Type"] == "image/jpeg"
+    assert img[:2] == b"\xff\xd8"  # JPEG SOI
+    # stage image still PNG
+    status, headers, img = client("GET", bird["small"])
+    assert headers["Content-Type"] == "image/png"
+    assert img[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_map_option_validation(client):
+    status, _, _ = client("POST", "/api/v1.0/bird",
+                          {"caption": "w1", "map_format": "bmp"})
+    assert status == "400 Bad Request"
+    status, _, _ = client("POST", "/api/v1.0/bird",
+                          {"caption": "w1", "map_scale": 0})
+    assert status == "400 Bad Request"
