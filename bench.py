@@ -399,6 +399,11 @@ def run_bench(force_cpu: bool = False):
                 # vs fwd 1.8 ms per head x 3 heads).  0 = plain conv.
                 "RGB_HEAD_PAD": int(os.environ.get("SBA_BENCH_RGBPAD",
                                                    "0")),
+                # ResBlock weight gradients as MXU dots (same math; the
+                # conv-shaped wgrads ran ~2.9x their forwards in the r4
+                # trace).  Off until the on-chip A/B lands.
+                "CONV_WGRAD_DOT": os.environ.get("SBA_BENCH_WGRADDOT",
+                                                 "0") == "1",
                 # bf16 inputs for the (B,B,T,R) words-loss einsums (f32
                 # softmax/accum); halves the grid footprint, grad cosine
                 # vs f32 = 0.99998 on-chip

@@ -275,6 +275,14 @@ def default_config() -> ConfigDict:
                 # typical values 8/32 (measurement decides — same flip
                 # discipline as the other levers).
                 "RGB_HEAD_PAD": 0,
+                # Lower the G ResBlock convs' WEIGHT gradients as nine
+                # shifted-view MXU dots instead of XLA's conv-shaped
+                # wgrad (models/blocks.py conv3x3_dot_wgrad) — same math
+                # and FLOPs; the r4 trace showed those wgrads at ~2.9x
+                # their forwards.  Forward and dgrad lowerings unchanged.
+                # Default off until the on-chip A/B lands (same gate
+                # discipline as the other levers).
+                "CONV_WGRAD_DOT": False,
                 # K train steps per dispatch in the training loop
                 # (lax.scan fusion, make_gan_train_multistep) — amortizes
                 # per-dispatch overhead on low-latency runtimes.  The

@@ -165,6 +165,54 @@ class _FoldedUpConv3x3(nn.Module):
         return y.reshape(b, 2 * h, 2 * w, co)
 
 
+def _conv3x3_same(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@jax.custom_vjp
+def conv3x3_dot_wgrad(x, k):
+    """3x3 'same' conv whose WEIGHT gradient is computed as nine large
+    MXU dots instead of XLA's conv-shaped wgrad (cfg.JAX.CONV_WGRAD_DOT).
+
+    Motivation: the r4 trace showed the 128^2 ResBlock conv backwards
+    running ~2.9x their forwards — the wgrad convolution (contracting over
+    batch x space with a feature-map-sized 'kernel') tiles poorly.  The
+    same contraction expressed as ``einsum('bhwc,bhwo->co')`` per kernel
+    tap is a (C, Cout) dot with a huge (B*H*W) contraction dim — exactly
+    the shape the MXU wants.  Same math, same FLOPs; only the lowering of
+    dW changes.  dx keeps XLA's standard transposed-conv dgrad."""
+    return _conv3x3_same(x, k)
+
+
+def _conv3x3_dot_fwd(x, k):
+    return _conv3x3_same(x, k), (x, k)
+
+
+def _conv3x3_dot_bwd(res, dy):
+    x, k = res
+    # dgrad: correlation with the spatially-flipped, I/O-swapped kernel
+    kt = k[::-1, ::-1].transpose(0, 1, 3, 2)  # (3,3,Cout,Cin) HWIO
+    dx = _conv3x3_same(dy, kt)
+    # wgrad: nine shifted-view dots; tap (di,dj) sees x shifted by
+    # (di-1, dj-1) under 'same' padding
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dk = jnp.stack([
+        jnp.stack([
+            jnp.einsum("bhwc,bhwo->co", xp[:, di:di + h, dj:dj + w, :], dy)
+            for dj in range(3)
+        ], 0)
+        for di in range(3)
+    ], 0)  # (3,3,Cin,Cout)
+    return dx.astype(x.dtype), dk.astype(k.dtype)
+
+
+conv3x3_dot_wgrad.defvjp(_conv3x3_dot_fwd, _conv3x3_dot_bwd)
+
+
 class _LanePaddedConv3x3(nn.Module):
     """3x3 'same' conv computed with the kernel zero-padded to ``pad_to``
     output channels, sliced back to ``features`` — exact same math and the
@@ -179,7 +227,8 @@ class _LanePaddedConv3x3(nn.Module):
     and the torch importers) stay (3,3,Cin,3)."""
 
     features: int
-    pad_to: int
+    pad_to: int = 0
+    wgrad_dot: bool = False  # cfg.JAX.CONV_WGRAD_DOT
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -188,15 +237,17 @@ class _LanePaddedConv3x3(nn.Module):
         kernel = self.param(
             "kernel", ortho_init, (3, 3, cin, self.features), jnp.float32
         )
-        kk = jnp.pad(
-            kernel, ((0, 0), (0, 0), (0, 0), (0, self.pad_to - self.features))
-        ).astype(self.dtype)
-        o = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kk, window_strides=(1, 1),
-            padding=((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        return o[..., : self.features]
+        padded = self.pad_to > self.features
+        kk = kernel
+        if padded:
+            kk = jnp.pad(
+                kernel,
+                ((0, 0), (0, 0), (0, 0), (0, self.pad_to - self.features)),
+            )
+        kk = kk.astype(self.dtype)
+        conv = conv3x3_dot_wgrad if self.wgrad_dot else _conv3x3_same
+        o = conv(x.astype(self.dtype), kk)
+        return o[..., : self.features] if padded else o
 
 
 class Conv3x3(nn.Module):
@@ -208,13 +259,18 @@ class Conv3x3(nn.Module):
 
     ``out_pad=N`` (N > features) computes the conv at N zero-padded output
     channels and slices back (:class:`_LanePaddedConv3x3`) — an exact
-    identity for narrow heads (cfg.JAX.RGB_HEAD_PAD)."""
+    identity for narrow heads (cfg.JAX.RGB_HEAD_PAD).
+
+    ``wgrad_dot=True`` keeps the forward identical but lowers the weight
+    gradient as nine shifted-view MXU dots (:func:`conv3x3_dot_wgrad`,
+    cfg.JAX.CONV_WGRAD_DOT)."""
 
     features: int
     dtype: Dtype = jnp.float32
     up2x: bool = False
     up2x_impl: str = "phase3x3"  # cfg.JAX.UPBLOCK_FUSED_IMPL
     out_pad: int = 0  # cfg.JAX.RGB_HEAD_PAD
+    wgrad_dot: bool = False  # cfg.JAX.CONV_WGRAD_DOT
 
     @nn.compact
     def __call__(self, x):
@@ -223,9 +279,10 @@ class Conv3x3(nn.Module):
                 self.features, dtype=self.dtype, impl=self.up2x_impl,
                 name="Conv_0"
             )(x)
-        if self.out_pad > self.features:
+        if self.out_pad > self.features or self.wgrad_dot:
             return _LanePaddedConv3x3(
-                self.features, pad_to=self.out_pad, dtype=self.dtype,
+                self.features, pad_to=self.out_pad,
+                wgrad_dot=self.wgrad_dot, dtype=self.dtype,
                 name="Conv_0"
             )(x)
         return nn.Conv(
@@ -418,18 +475,25 @@ class Block3x3Relu(nn.Module):
 
 class ResBlock(nn.Module):
     """conv3x3(2c)-BN-GLU-conv3x3(c)-BN + skip (reference ResBlock,
-    model.py:57-71)."""
+    model.py:57-71).
+
+    ``wgrad_dot`` (cfg.JAX.CONV_WGRAD_DOT) lowers these convs' weight
+    gradients as MXU dots — the r4 trace named the 128^2 ResBlock conv
+    backwards at ~2.9x their forwards (conv-shaped wgrad)."""
 
     features: int
     dtype: Dtype = jnp.float32
     bn_compact: Any = False  # False | True | "large"
+    wgrad_dot: bool = False  # cfg.JAX.CONV_WGRAD_DOT
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        h = Conv3x3(self.features * 2, dtype=self.dtype)(x)
+        h = Conv3x3(self.features * 2, dtype=self.dtype,
+                    wgrad_dot=self.wgrad_dot)(x)
         h = BatchNorm(dtype=self.dtype, compact=self.bn_compact)(h, train)
         h = glu(h)
-        h = Conv3x3(self.features, dtype=self.dtype)(h)
+        h = Conv3x3(self.features, dtype=self.dtype,
+                    wgrad_dot=self.wgrad_dot)(h)
         h = BatchNorm(dtype=self.dtype, compact=self.bn_compact)(h, train)
         return x + h
 

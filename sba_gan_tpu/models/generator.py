@@ -86,6 +86,7 @@ class NextStageG(nn.Module):
     up_fused: bool = False
     up_impl: str = "phase3x3"
     bn_compact: Any = False  # False | True | "large"
+    wgrad_dot: bool = False  # cfg.JAX.CONV_WGRAD_DOT
 
     @nn.compact
     def __call__(self, h_code, c_code, w_code, word_embs, pad_mask, train=True):
@@ -98,7 +99,8 @@ class NextStageG(nn.Module):
         h = jnp.concatenate([h_styled, ctx], axis=-1)  # (B, H, W, 2*ngf)
         for _ in range(self.num_residual):
             h = ResBlock(self.ngf * 2, dtype=self.dtype,
-                         bn_compact=self.bn_compact)(h, train)
+                         bn_compact=self.bn_compact,
+                         wgrad_dot=self.wgrad_dot)(h, train)
         h = UpBlock(self.ngf, dtype=self.dtype, fused=self.up_fused,
                     fused_impl=self.up_impl,
                     bn_compact=self.bn_compact)(h, train)
@@ -149,6 +151,7 @@ class GNet(nn.Module):
     up_impl: str = "phase3x3"  # cfg.JAX.UPBLOCK_FUSED_IMPL
     bn_compact: Any = False  # cfg.JAX.BN_COMPACT (False | True | "large")
     rgb_pad: int = 0  # cfg.JAX.RGB_HEAD_PAD
+    wgrad_dot: bool = False  # cfg.JAX.CONV_WGRAD_DOT
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -198,7 +201,7 @@ class GNet(nn.Module):
                 ngf, num_residual=self.num_residual,
                 attn_impl=self.attn_impl, dtype=self.dtype,
                 up_fused=self.up_fused, up_impl=self.up_impl,
-                bn_compact=self.bn_compact,
+                bn_compact=self.bn_compact, wgrad_dot=self.wgrad_dot,
             )(h1, c_code, w_code2, word_embs, pad_mask, train)
             h2 = checkpoint_name(h2, "g_stage")
             fake_imgs.append(GetImageG(dtype=self.dtype, pad_lanes=self.rgb_pad)(h2))
@@ -208,7 +211,7 @@ class GNet(nn.Module):
                 ngf, num_residual=self.num_residual,
                 attn_impl=self.attn_impl, dtype=self.dtype,
                 up_fused=self.up_fused, up_impl=self.up_impl,
-                bn_compact=self.bn_compact,
+                bn_compact=self.bn_compact, wgrad_dot=self.wgrad_dot,
             )(h2, c_code, w_code3, word_embs, pad_mask, train)
             h3 = checkpoint_name(h3, "g_stage")
             fake_imgs.append(GetImageG(dtype=self.dtype, pad_lanes=self.rgb_pad)(h3))
@@ -233,6 +236,7 @@ class GDCGAN(nn.Module):
     up_impl: str = "phase3x3"
     bn_compact: Any = False  # False | True | "large"
     rgb_pad: int = 0  # cfg.JAX.RGB_HEAD_PAD
+    wgrad_dot: bool = False  # cfg.JAX.CONV_WGRAD_DOT
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -259,7 +263,7 @@ class GDCGAN(nn.Module):
                 ngf, num_residual=self.num_residual,
                 attn_impl=self.attn_impl, dtype=self.dtype,
                 up_fused=self.up_fused, up_impl=self.up_impl,
-                bn_compact=self.bn_compact,
+                bn_compact=self.bn_compact, wgrad_dot=self.wgrad_dot,
             )(h, c_code, w_code, word_embs, pad_mask, train)
             att_maps.append(att1)
         if self.branch_num > 2:
@@ -267,7 +271,7 @@ class GDCGAN(nn.Module):
                 ngf, num_residual=self.num_residual,
                 attn_impl=self.attn_impl, dtype=self.dtype,
                 up_fused=self.up_fused, up_impl=self.up_impl,
-                bn_compact=self.bn_compact,
+                bn_compact=self.bn_compact, wgrad_dot=self.wgrad_dot,
             )(h, c_code, w_code, word_embs, pad_mask, train)
             att_maps.append(att2)
         fake_img = GetImageG(dtype=self.dtype, pad_lanes=self.rgb_pad)(h)
@@ -290,6 +294,7 @@ def build_generator(cfg) -> nn.Module:
         up_impl=cfg.JAX.UPBLOCK_FUSED_IMPL,
         bn_compact=cfg.JAX.BN_COMPACT,
         rgb_pad=cfg.JAX.RGB_HEAD_PAD,
+        wgrad_dot=cfg.JAX.CONV_WGRAD_DOT,
         dtype=jnp.dtype(cfg.JAX.DTYPE),
     )
     if cfg.GAN.B_DCGAN:

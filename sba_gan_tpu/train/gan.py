@@ -220,6 +220,7 @@ def make_gan_train_step(cfg, models: GANModels, mesh=None):
               if cfg.JAX.REMAT_GENERATOR else "")
         rgb = (f" rgb_pad={cfg.JAX.RGB_HEAD_PAD}"
                if cfg.JAX.RGB_HEAD_PAD else "")
+        rgb += " wgrad_dot" if cfg.JAX.CONV_WGRAD_DOT else ""
         print(f"[sba_gan_tpu] GAN step build: DAMSM_SIM_IMPL={sim_impl} "
               f"tile={sim_tile} chunks={damsm_chunks} "
               f"grid_chunks={grid_chunks} loss_dtype={cfg.JAX.LOSS_DTYPE}"

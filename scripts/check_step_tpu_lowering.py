@@ -75,6 +75,7 @@ def main():
                 "UPBLOCK_FUSED": "upfused" in flags,
                 "BN_COMPACT": ("large" if "bnclarge" in flags
                                else "bncompact" in flags),
+                "CONV_WGRAD_DOT": "wgraddot" in flags,
                 **kw,
             },
         }

@@ -56,7 +56,7 @@ def main() -> None:
     # ignores a flag word measures the WRONG config without warning).
     known_words = {"remat", "encblocks", "encstem", "rematg", "simpallas",
                    "bncompact", "bnclarge", "upfused", "pallas", "lossf32",
-                   "fold"}
+                   "fold", "wgraddot"}
     kw_jax = {
         "DTYPE": "bfloat16",
         "REMAT_IMAGE_ENCODER": "remat" in flags,
@@ -73,6 +73,7 @@ def main() -> None:
         "UPBLOCK_FUSED": "upfused" in flags,
         "BN_COMPACT": ("large" if "bnclarge" in flags
                        else "bncompact" in flags),
+        "CONV_WGRAD_DOT": "wgraddot" in flags,
     }
     for f in flags:
         if f.startswith("chunks="):

@@ -63,7 +63,7 @@ def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
         sim_impl="xla", sim_tile=16, fold_softmax=False,
         remat_g_mode="stages", upblock_fused=False,
         upblock_fused_impl="phase3x3", bn_compact=False,
-        remat_enc_mode="full", rgb_pad=0):
+        remat_enc_mode="full", rgb_pad=0, wgrad_dot=False):
     cfg = cfg_from_dict(
         {
             "TREE": {"BRANCH_NUM": 3},
@@ -86,7 +86,8 @@ def run(name, b, lam, use_pallas=False, remat=False, chunks=1,
                     "UPBLOCK_FUSED": upblock_fused,
                     "UPBLOCK_FUSED_IMPL": upblock_fused_impl,
                     "BN_COMPACT": bn_compact,
-                    "RGB_HEAD_PAD": rgb_pad},
+                    "RGB_HEAD_PAD": rgb_pad,
+                    "CONV_WGRAD_DOT": wgrad_dot},
         }
     )
     models = build_models(cfg, 5450)
@@ -142,6 +143,7 @@ if __name__ == "__main__":
                   upblock_fused="upfused" in flags,
                   bn_compact=("large" if "bnclarge" in flags
                               else "bncompact" in flags),
+                  wgrad_dot="wgraddot" in flags,
                   remat_enc_mode=("blocks" if "encblocks" in flags
                                   else "stem" if "encstem" in flags
                                   else "full"),

@@ -138,3 +138,43 @@ def test_bert_variant_trains_mixed7_through_stopgrad_freeze(rng):
     frozen_old = jax.tree.leaves(state.image_params["backbone"]["Mixed_5b"])
     frozen_new = jax.tree.leaves(new_state.image_params["backbone"]["Mixed_5b"])
     assert all(np.allclose(a, b) for a, b in zip(frozen_old, frozen_new))
+
+
+def test_encoder_chunks_and_remat_levers(rng):
+    """Large-batch pretrain levers (VERDICT r4 #6, train/damsm.py):
+
+    * REMAT_IMAGE_ENCODER (any mode) is numerics-IDENTICAL — same loss,
+      same updated params as the plain step;
+    * DAMSM_CHUNKS=2 runs the encoder over sequential sub-batches — the
+      step must run, stay finite, and update the BN running stats
+      (documented deviation: train-mode BN statistics are per sub-batch).
+    """
+    def build(jax_over):
+        cfg = cfg_from_dict({"JAX": jax_over}, base=tiny_cfg())
+        models = build_damsm_models(cfg, N_WORDS)
+        return DAMSMTrainer(cfg, models, N_WORDS)
+
+    batch = make_batch(rng, 8, 6, 75)
+    key = jax.random.PRNGKey(1)
+
+    plain = build({})
+    st0 = plain.init_state(jax.random.PRNGKey(0))
+    st_plain, logs_plain = plain.train_step(st0, *batch, key)
+
+    remat = build({"REMAT_IMAGE_ENCODER": True,
+                   "REMAT_IMAGE_ENCODER_MODE": "stem"})
+    st_remat, logs_remat = remat.train_step(st0, *batch, key)
+    np.testing.assert_allclose(float(logs_remat["total"]),
+                               float(logs_plain["total"]), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        st_remat.text_params, st_plain.text_params)
+
+    chunked = build({"DAMSM_CHUNKS": 2})
+    st_c, logs_c = chunked.train_step(st0, *batch, key)
+    assert np.isfinite(float(logs_c["total"]))
+    # running stats advanced (sequential sub-batch semantics)
+    changed = jax.tree.leaves(jax.tree.map(
+        lambda a, b: bool(np.any(np.asarray(a) != np.asarray(b))),
+        st_c.image_batch_stats, st0.image_batch_stats))
+    assert any(changed)

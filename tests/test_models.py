@@ -195,3 +195,44 @@ def test_rgb_head_pad_exact_identity(rng):
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
         grads0, grads8)
+
+
+def test_conv_wgrad_dot_parity(rng):
+    """JAX.CONV_WGRAD_DOT keeps the forward lowering and replaces the
+    ResBlock convs' weight-gradient lowering with shifted-view MXU dots
+    (models/blocks.py conv3x3_dot_wgrad): same parameter tree, identical
+    outputs, gradients equal to the autodiff conv wgrad."""
+    cfg0 = tiny_cfg()
+    cfgd = tiny_cfg(**{"JAX.CONV_WGRAD_DOT": True})
+    g0, gd = build_generator(cfg0), build_generator(cfgd)
+    z, sent, words, mask = _gen_inputs(cfg0, rng)
+    key = jax.random.PRNGKey(0)
+    v0 = g0.init(key, z, sent, words, mask, key, True)
+    vd = gd.init(key, z, sent, words, mask, key, True)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                 v0["params"], vd["params"])
+
+    def loss(gen, params, bs):
+        (fakes, _, _, _), _ = gen.apply(
+            {"params": params, "batch_stats": bs}, z, sent, words, mask,
+            key, True, mutable=["batch_stats"])
+        return sum(jnp.sum(jnp.sin(3.0 * f)) for f in fakes)
+
+    l0, grads0 = jax.value_and_grad(
+        lambda p: loss(g0, p, v0["batch_stats"]))(v0["params"])
+    ld, gradsd = jax.value_and_grad(
+        lambda p: loss(gd, p, vd["batch_stats"]))(vd["params"])
+    np.testing.assert_allclose(float(l0), float(ld), rtol=1e-6)
+
+    # the wgrad lowering reduces over (B,H,W) in a different order, so
+    # f32 summation noise is expected on cancelling elements: assert
+    # near-equality elementwise plus per-leaf direction (cosine)
+    def close(a, b):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-3 * (
+            1.0 + float(np.max(np.abs(b)))))
+        na, nb = float(np.linalg.norm(a)), float(np.linalg.norm(b))
+        if na > 0 and nb > 0:
+            cos = float(np.sum(np.asarray(a) * np.asarray(b))) / (na * nb)
+            assert cos > 0.999999, cos
+
+    jax.tree.map(close, grads0, gradsd)
