@@ -222,7 +222,11 @@ def main():
         return
     signal.signal(signal.SIGTERM, _on_term)
     signal.signal(signal.SIGINT, _on_term)
-    probe_timeout = float(os.environ.get("SBA_BENCH_PROBE_TIMEOUT", "150"))
+    # 150 s missed a LIVE backend twice on 2026-08-21 00:48 (init latency
+    # spike; the tunnel served ablations minutes before and after) — 200 s
+    # keeps the dead-tunnel worst case (2x200 + CPU smoke) inside the
+    # driver's ~10 min budget while covering the observed spikes.
+    probe_timeout = float(os.environ.get("SBA_BENCH_PROBE_TIMEOUT", "200"))
     attempts = int(os.environ.get("SBA_BENCH_PROBE_ATTEMPTS", "2"))
     budget = float(os.environ.get("SBA_BENCH_TPU_BUDGET", "2400"))
     if os.environ.get("JAX_PLATFORMS", "") != "cpu":
